@@ -1,0 +1,330 @@
+"""Dense CRF with mean-field inference over point clouds and images.
+
+Capability parity with the Krähenbühl/Koltun engine
+(``/root/reference/third-party/densecrf/src/densecrf.cpp``,
+``src/pairwise.cpp``, ``src/labelcompatibility.cpp``), re-designed so the
+mean-field loop is one jitted device computation:
+
+- ``Q = expAndNormalize(-U - sum_k compat_k(kernel_k(Q)))`` per iteration
+  (densecrf.cpp:115-131) with the max-subtracted softmax (:98-106);
+- pairwise kernels are permutohedral lattice filters with NO / BEFORE /
+  AFTER / SYMMETRIC normalization (pairwise.cpp:40-80); SYMMETRIC is the
+  default, as in the reference headers;
+- Potts (``-w*Q``), diagonal (``diag(v)*Q``) and symmetric matrix (``M*Q``)
+  label compatibilities (labelcompatibility.cpp:44-108);
+- ``map`` = per-point argmax of the marginals (densecrf.cpp:202-211);
+- KL divergence of marginals for diagnostics (densecrf.cpp:214-235).
+
+Data layout is points-major ``[N, C]`` (the reference is ``[C, N]``
+column-major — identical memory meaning, friendlier gathers here).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lattice import PermutohedralLattice, build_lattice, lattice_filter
+
+
+class NormalizationType(enum.Enum):
+    NO_NORMALIZATION = 0
+    NORMALIZE_BEFORE = 1
+    NORMALIZE_AFTER = 2
+    NORMALIZE_SYMMETRIC = 3
+
+
+# ----------------------------------------------------------------------
+# Label compatibilities
+# ----------------------------------------------------------------------
+
+
+class PottsCompatibility:
+    """out = -w * Q (labelcompatibility.cpp:46-48)."""
+
+    def __init__(self, weight: float):
+        self.weight = float(weight)
+
+    def apply(self, q: jnp.ndarray) -> jnp.ndarray:
+        return -self.weight * q
+
+    apply_transpose = apply
+
+
+class DiagonalCompatibility:
+    """out = diag(v) @ Q (labelcompatibility.cpp:66-69)."""
+
+    def __init__(self, v: Sequence[float]):
+        self.v = jnp.asarray(np.asarray(v, dtype=np.float32))
+
+    def apply(self, q: jnp.ndarray) -> jnp.ndarray:
+        return q * self.v[None, :]
+
+    apply_transpose = apply
+
+
+class MatrixCompatibility:
+    """out = M @ Q with M symmetrized (labelcompatibility.cpp:79-87)."""
+
+    def __init__(self, m: np.ndarray):
+        m = np.asarray(m, dtype=np.float32)
+        self.m = jnp.asarray(0.5 * (m + m.T))
+
+    def apply(self, q: jnp.ndarray) -> jnp.ndarray:
+        return q @ self.m.T
+
+    def apply_transpose(self, q: jnp.ndarray) -> jnp.ndarray:
+        return q @ self.m
+
+
+Compatibility = Union[PottsCompatibility, DiagonalCompatibility, MatrixCompatibility]
+
+
+# ----------------------------------------------------------------------
+# Pairwise potential = normalization o lattice filter o compatibility
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class PairwisePotential:
+    lattice: PermutohedralLattice
+    compatibility: Compatibility
+    norm: jnp.ndarray  # [N] normalization vector (already inverted)
+    ntype: NormalizationType
+    # Device copies of the lattice tensors.
+    offsets: jnp.ndarray = None
+    barycentric: jnp.ndarray = None
+    blur_n1: jnp.ndarray = None
+    blur_n2: jnp.ndarray = None
+
+    @classmethod
+    def build(
+        cls,
+        features: np.ndarray,  # [N, d]
+        compatibility: Compatibility,
+        ntype: NormalizationType = NormalizationType.NORMALIZE_SYMMETRIC,
+    ) -> "PairwisePotential":
+        lattice = build_lattice(features)
+        offsets = jnp.asarray(lattice.offsets)
+        barycentric = jnp.asarray(lattice.barycentric)
+        blur_n1 = jnp.asarray(lattice.blur_n1)
+        blur_n2 = jnp.asarray(lattice.blur_n2)
+        n = features.shape[0]
+        ones = jnp.ones((n, 1), jnp.float32)
+        raw = lattice_filter(
+            ones, offsets, barycentric, blur_n1, blur_n2, lattice.num_vertices
+        )[:, 0]
+        # pairwise.cpp:46-61
+        if ntype == NormalizationType.NO_NORMALIZATION:
+            norm = jnp.full((n,), n / jnp.sum(raw))
+        elif ntype == NormalizationType.NORMALIZE_SYMMETRIC:
+            norm = 1.0 / jnp.sqrt(raw + 1e-20)
+        else:
+            norm = 1.0 / (raw + 1e-20)
+        return cls(
+            lattice=lattice,
+            compatibility=compatibility,
+            norm=norm,
+            ntype=ntype,
+            offsets=offsets,
+            barycentric=barycentric,
+            blur_n1=blur_n1,
+            blur_n2=blur_n2,
+        )
+
+    def _filter(self, q: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+        """pairwise.cpp:63-80."""
+        nt = self.ntype
+        pre = (
+            nt == NormalizationType.NORMALIZE_SYMMETRIC
+            or (nt == NormalizationType.NORMALIZE_BEFORE and not transpose)
+            or (nt == NormalizationType.NORMALIZE_AFTER and transpose)
+        )
+        post = (
+            nt == NormalizationType.NORMALIZE_SYMMETRIC
+            or (nt == NormalizationType.NORMALIZE_BEFORE and transpose)
+            or (nt == NormalizationType.NORMALIZE_AFTER and not transpose)
+        )
+        out = q * self.norm[:, None] if pre else q
+        out = lattice_filter(
+            out,
+            self.offsets,
+            self.barycentric,
+            self.blur_n1,
+            self.blur_n2,
+            self.lattice.num_vertices,
+            reverse=transpose,
+        )
+        if post:
+            out = out * self.norm[:, None]
+        return out
+
+    def apply(self, q: jnp.ndarray) -> jnp.ndarray:
+        """kernel then compatibility (pairwise.cpp:173-178)."""
+        return self.compatibility.apply(self._filter(q, transpose=False))
+
+    def apply_transpose(self, q: jnp.ndarray) -> jnp.ndarray:
+        return self.compatibility.apply_transpose(self._filter(q, transpose=True))
+
+
+# ----------------------------------------------------------------------
+# DenseCRF
+# ----------------------------------------------------------------------
+
+
+def exp_and_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Column softmax with max subtraction (densecrf.cpp:98-106), [N, C]."""
+    x = x - jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+class DenseCRF:
+    """Fully-connected CRF over N variables with C labels."""
+
+    def __init__(self, n: int, num_labels: int):
+        self.n = int(n)
+        self.num_labels = int(num_labels)
+        self.unary: Optional[jnp.ndarray] = None  # [N, C]
+        self.pairwise: List[PairwisePotential] = []
+
+    # -- energies ------------------------------------------------------
+    def set_unary_energy(self, unary: np.ndarray) -> None:
+        """Constant unary energy [N, C] (unary.cpp ConstUnaryEnergy)."""
+        unary = jnp.asarray(unary, dtype=jnp.float32)
+        assert unary.shape == (self.n, self.num_labels)
+        self.unary = unary
+
+    def add_pairwise_energy(
+        self,
+        features: np.ndarray,  # [N, d]
+        compatibility: Compatibility,
+        ntype: NormalizationType = NormalizationType.NORMALIZE_SYMMETRIC,
+    ) -> None:
+        assert features.shape[0] == self.n
+        self.pairwise.append(PairwisePotential.build(features, compatibility, ntype))
+
+    # -- inference (densecrf.cpp:115-131) -------------------------------
+    def start_inference(self) -> jnp.ndarray:
+        unary = self.unary if self.unary is not None else jnp.zeros((self.n, self.num_labels))
+        return exp_and_normalize(-unary)
+
+    def step_inference(self, q: jnp.ndarray) -> jnp.ndarray:
+        tmp1 = -self.unary if self.unary is not None else jnp.zeros_like(q)
+        for pw in self.pairwise:
+            tmp1 = tmp1 - pw.apply(q)
+        return exp_and_normalize(tmp1)
+
+    def inference(self, n_iterations: int) -> jnp.ndarray:
+        q = self.start_inference()
+        for _ in range(n_iterations):
+            q = self.step_inference(q)
+        return q
+
+    def map(self, n_iterations: int) -> np.ndarray:
+        """Per-point MAP labels (densecrf.cpp:132-137, 202-211)."""
+        q = self.inference(n_iterations)
+        return np.asarray(jnp.argmax(q, axis=1).astype(jnp.int32))
+
+    # -- diagnostics -----------------------------------------------------
+    def kl_divergence(self, q: jnp.ndarray) -> float:
+        """densecrf.cpp:214-235."""
+        kl = jnp.sum(q * jnp.log(jnp.maximum(q, 1e-20)))
+        if self.unary is not None:
+            kl = kl + jnp.sum(self.unary * q)
+        for pw in self.pairwise:
+            kl = kl + jnp.sum(q * pw.apply(q))
+        return float(kl)
+
+
+class DenseCRF2D(DenseCRF):
+    """Image CRF with grid Gaussian and bilateral feature builders."""
+
+    def __init__(self, w: int, h: int, num_labels: int):
+        super().__init__(w * h, num_labels)
+        self.w = int(w)
+        self.h = int(h)
+
+    def add_pairwise_gaussian(
+        self,
+        sx: float,
+        sy: float,
+        compatibility: Compatibility,
+        ntype: NormalizationType = NormalizationType.NORMALIZE_SYMMETRIC,
+    ) -> None:
+        """densecrf.cpp:61-69."""
+        xs, ys = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        feats = np.stack([xs.ravel() / sx, ys.ravel() / sy], axis=1)
+        self.add_pairwise_energy(feats.astype(np.float32), compatibility, ntype)
+
+    def add_pairwise_bilateral(
+        self,
+        sx: float,
+        sy: float,
+        sr: float,
+        sg: float,
+        sb: float,
+        rgb: np.ndarray,  # [H, W, 3] uint8
+        compatibility: Compatibility,
+        ntype: NormalizationType = NormalizationType.NORMALIZE_SYMMETRIC,
+    ) -> None:
+        """densecrf.cpp:70-81."""
+        xs, ys = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        c = rgb.reshape(-1, 3).astype(np.float32)
+        feats = np.stack(
+            [
+                xs.ravel() / sx,
+                ys.ravel() / sy,
+                c[:, 0] / sr,
+                c[:, 1] / sg,
+                c[:, 2] / sb,
+            ],
+            axis=1,
+        )
+        self.add_pairwise_energy(feats.astype(np.float32), compatibility, ntype)
+
+
+# ----------------------------------------------------------------------
+# Fully-jitted mean-field for the map-fusion path (single Potts potential
+# over [xyz*wxyz ; rgb*wrgb] features — segmenter.cpp:628-658)
+# ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_vertices", "n_iterations"))
+def potts_mean_field(
+    unary: jnp.ndarray,  # [N, C] (the CRF energy, i.e. -accumulated unaries)
+    offsets: jnp.ndarray,
+    barycentric: jnp.ndarray,
+    blur_n1: jnp.ndarray,
+    blur_n2: jnp.ndarray,
+    norm: jnp.ndarray,  # [N] symmetric-normalization vector
+    weight: jnp.ndarray,  # Potts weight
+    num_vertices: int,
+    n_iterations: int,
+) -> jnp.ndarray:
+    """10x default mean-field with one symmetric-normalized Potts kernel."""
+
+    def step(q, _):
+        filtered = (
+            lattice_filter(
+                q * norm[:, None],
+                offsets,
+                barycentric,
+                blur_n1,
+                blur_n2,
+                num_vertices,
+            )
+            * norm[:, None]
+        )
+        q_new = exp_and_normalize(-unary + weight * filtered)
+        return q_new, None
+
+    q0 = exp_and_normalize(-unary)
+    q, _ = jax.lax.scan(step, q0, None, length=n_iterations)
+    return q

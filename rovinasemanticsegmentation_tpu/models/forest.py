@@ -445,8 +445,14 @@ def random_forest(
     depth: int,
     num_features: int,
     class_counts: Sequence[int],
+    max_nodes: Optional[int] = None,
 ) -> Forest:
-    """A random complete-ish forest for benchmarks and compile checks."""
+    """A random forest for benchmarks and compile checks.
+
+    Splits random leaves until ``max_nodes`` (default: a complete tree of the
+    given depth) — use ``max_nodes`` for deep trees, whose trained node
+    counts are far below 2^depth.
+    """
     trees = []
     c_max = max(class_counts)
     for _ in range(num_trees):
@@ -456,7 +462,7 @@ def random_forest(
         left_child = [0]
         depths = [0]
         leaves = [0]
-        target_nodes = 2 ** (depth + 1) - 1
+        target_nodes = max_nodes if max_nodes else 2 ** (depth + 1) - 1
         while len(split_feature) < target_nodes and leaves:
             idx = leaves.pop(rng.integers(len(leaves)))
             if depths[idx] >= depth:

@@ -1,0 +1,180 @@
+"""Single-frame segmentation: features -> forest -> per-pixel posteriors.
+
+This is the reference's minimum end-to-end slice, mirroring both the offline
+evaluator (``/root/reference/src/test_multi.cpp:154-237``) and the online
+per-keyframe worker (``src/segmenter.cpp:323-443``):
+
+1. extract stride-grid features (NO_LABEL / WITH_ANY_LABEL);
+2. forest multi-class log-posterior per grid point;
+3. write per-layer posterior maps at stride resolution — the evaluator
+   initializes to -1000 (test_multi.cpp:181) while the online node uses 0
+   (segmenter.cpp:358-362); ``fill_value`` selects;
+4. bilinear-resize each map to full resolution (test_multi.cpp:199);
+5. per-pixel argmax with a -1000 floor: pixels where nothing beats -1000 get
+   label -1 (test_multi.cpp:206-216).
+
+The whole slice is one jitted computation per layer set; the stride grid maps
+to the posterior image by a plain reshape because grid points are generated
+row-major.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..features.extractor import (
+    ExtractType,
+    FeatureBatch,
+    FeatureConfig,
+    FeatureExtractor,
+    _extract_impl,
+)
+from ..models.forest import Forest, ForestPredictor, forest_log_posterior
+from ..ops.resize import resize_bilinear
+from ..utils.calibration import Calibration
+
+ARGMAX_FLOOR = -1000.0  # test_multi.cpp:181,207
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "stride",
+        "patch_size",
+        "reduce_size",
+        "use_color_patch",
+        "use_depth",
+        "use_height",
+        "use_normal",
+        "max_depth",
+        "class_counts",
+        "fill_value",
+        "out_h",
+        "out_w",
+    ),
+)
+def _single_frame_impl(
+    rgb: jnp.ndarray,
+    depth_mm: jnp.ndarray,
+    intrinsic_inverse: jnp.ndarray,
+    rotation: jnp.ndarray,
+    translation: jnp.ndarray,
+    d_min: jnp.ndarray,
+    d_max: jnp.ndarray,
+    split_feature: jnp.ndarray,
+    threshold: jnp.ndarray,
+    left_child: jnp.ndarray,
+    leaf_hist: jnp.ndarray,
+    *,
+    stride: int,
+    patch_size: int,
+    reduce_size: int,
+    use_color_patch: bool,
+    use_depth: bool,
+    use_height: bool,
+    use_normal: bool,
+    max_depth: int,
+    class_counts: Tuple[int, ...],
+    fill_value: float,
+    out_h: int,
+    out_w: int,
+):
+    features, mask, ys, xs = _extract_impl(
+        rgb,
+        depth_mm,
+        intrinsic_inverse,
+        rotation,
+        translation,
+        d_min,
+        d_max,
+        stride=stride,
+        patch_size=patch_size,
+        reduce_size=reduce_size,
+        use_color_patch=use_color_patch,
+        use_depth=use_depth,
+        use_height=use_height,
+        use_normal=use_normal,
+    )
+    post = forest_log_posterior(
+        features, split_feature, threshold, left_child, leaf_hist,
+        max_depth=max_depth,
+    )  # [P, L, Cmax]
+
+    h, w = depth_mm.shape
+    gh, gw = -(-h // stride), -(-w // stride)
+    posteriors = []
+    labels = []
+    for li, c in enumerate(class_counts):
+        layer = jnp.where(mask[:, None], post[:, li, :c], fill_value)
+        grid_img = layer.reshape(gh, gw, c)
+        full = resize_bilinear(grid_img, out_h, out_w)  # [H, W, c]
+        max_val = jnp.max(full, axis=-1)
+        lbl = jnp.argmax(full, axis=-1).astype(jnp.int8)
+        lbl = jnp.where(max_val > ARGMAX_FLOOR, lbl, jnp.int8(-1))
+        posteriors.append(full)
+        labels.append(lbl)
+    return posteriors, labels
+
+
+@dataclass
+class SingleFrameResult:
+    posteriors: List[jnp.ndarray]  # per layer [H, W, C_l] float32
+    labels: List[jnp.ndarray]  # per layer [H, W] int8 (-1 = no vote)
+
+
+class SingleFramePipeline:
+    """features -> RF -> posterior maps -> labels for one calibrated camera."""
+
+    def __init__(
+        self,
+        feature_config: FeatureConfig,
+        forest: Forest,
+        stride: int,
+        fill_value: float = ARGMAX_FLOOR,
+    ):
+        self.feature_config = feature_config
+        self.predictor = ForestPredictor(forest)
+        self.stride = int(stride)
+        self.fill_value = float(fill_value)
+        self.class_counts = tuple(forest.class_counts)
+
+    def run(
+        self,
+        rgb: np.ndarray,
+        depth_mm: np.ndarray,
+        calibration: Calibration,
+    ) -> SingleFrameResult:
+        cfg = self.feature_config
+        h, w = np.asarray(depth_mm).shape
+        posteriors, labels = _single_frame_impl(
+            jnp.asarray(rgb),
+            jnp.asarray(depth_mm),
+            jnp.asarray(calibration.intrinsic_inverse),
+            jnp.asarray(calibration.rotation),
+            jnp.asarray(calibration.translation),
+            jnp.float32(cfg.d_min),
+            jnp.float32(cfg.d_max),
+            self.predictor.split_feature,
+            self.predictor.threshold,
+            self.predictor.left_child,
+            self.predictor.leaf_hist,
+            stride=self.stride,
+            patch_size=cfg.patch_size,
+            reduce_size=cfg.patch_size_reduce,
+            use_color_patch=cfg.use_color_patch,
+            use_depth=cfg.use_depth,
+            use_height=cfg.use_height,
+            use_normal=cfg.use_normal,
+            max_depth=self.predictor.max_depth,
+            class_counts=self.class_counts,
+            fill_value=self.fill_value,
+            out_h=h,
+            out_w=w,
+        )
+        return SingleFrameResult(posteriors=posteriors, labels=labels)

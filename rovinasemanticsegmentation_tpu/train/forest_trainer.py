@@ -1,0 +1,465 @@
+"""Random-forest training: breadth-first, sort-based exact split search.
+
+TPU-native re-design of the libforest learners
+(``/root/reference/third-party/libforest/src/learning.cpp:363-1113``,
+``include/libforest/learning.h:107-456``). The reference grows each tree
+depth-first with per-node std::sort over its examples; here every frontier
+node at a depth is processed in ONE batched device step: a single
+(segment, value) sort over the whole bootstrap sample, segmented cumulative
+class counts, and an entropy sweep evaluate every candidate threshold of
+every frontier node simultaneously. The split *criterion* is exact
+(reference semantics), only the traversal order and RNG differ — the
+reference itself is nondeterministic (unseeded std::random_device,
+learning.cpp:18).
+
+Preserved semantics:
+
+- bootstrap sampling with replacement, default size = dataset size
+  (``autoconf``, learning.cpp:363-368; bootstrapmulti, data.cpp:325-349);
+- per node in the multi-label branch a label layer is drawn uniformly and
+  the split optimizes that layer's entropy only (learning.cpp:489-493);
+- ``numFeatures = ceil(sqrt(D))`` features sampled per node without
+  replacement (:367, :543-546);
+- unnormalized entropy ``sum_c -h_c log2 h_c + m log2 m`` summed over both
+  children (ENTROPY macro :15, initEntropies :279-293, objective :586);
+- candidate thresholds between consecutive sorted values, skipped when the
+  gap < 1e-6 (:576-583), threshold = midpoint (:591,603);
+- stops: node mass < minSplitExamples, purity, depth > maxDepth (:525),
+  child mass < minChildSplitExamples (:606);
+- leaf histograms refit on the FULL dataset with inverted class frequency
+  weights and log smoothing (updateMultiHistograms :963-1012,
+  updateHistograms :918-961, getInvertedClassFrequency data.h:345-369);
+- trees train independently (the OpenMP-over-trees loop :1031-1113 becomes
+  sequential here and shards over a mesh axis in ``parallel/``).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.forest import Forest, TreeArrays, build_forest
+from ..utils.config import Config
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainerConfig:
+    """Knobs of DecisionTreeLearner/RandomForestLearner (learning.h:107-456)."""
+
+    num_trees: int = 4
+    max_depth: int = 30
+    min_split_examples: int = 50
+    min_child_split_examples: int = 1
+    num_features: int = 0  # 0 = autoconf ceil(sqrt(D))
+    use_bootstrap: bool = True
+    num_bootstrap_examples: int = 0  # 0 = autoconf dataset size
+    smoothing: float = 1.0
+    seed: int = 0
+
+    @classmethod
+    def from_config(cls, conf: Config, seed: int = 0) -> "TrainerConfig":
+        """train.cpp:225-239."""
+        return cls(
+            num_trees=conf.get_int("num_trees"),
+            max_depth=conf.get_int("max_depth"),
+            min_split_examples=conf.get_int("min_split_sample"),
+            seed=seed,
+        )
+
+
+# ======================================================================
+# Batched split search (one device step per (depth, feature-slot))
+# ======================================================================
+
+
+def _unnormalized_entropy(counts: jnp.ndarray) -> jnp.ndarray:
+    """sum_c -h_c log2 h_c + m log2 m over the last axis (ENTROPY macro)."""
+    mass = counts.sum(axis=-1)
+    term = jnp.where(counts > 0, -counts * jnp.log2(jnp.maximum(counts, 1e-30)), 0.0)
+    mass_term = jnp.where(mass > 0, mass * jnp.log2(jnp.maximum(mass, 1e-30)), 0.0)
+    return term.sum(axis=-1) + mass_term
+
+
+@partial(jax.jit, static_argnames=("num_segments", "num_classes"))
+def split_search_step(
+    vals: jnp.ndarray,  # [Ns] feature value per example (node's slot-k feature)
+    seg: jnp.ndarray,  # [Ns] frontier index per example, num_segments = inactive
+    cls: jnp.ndarray,  # [Ns] class label per example (node's chosen layer)
+    num_segments: int,
+    num_classes: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Best split per frontier segment for one feature slot.
+
+    Returns (objective [F], threshold [F], left_mass [F], right_mass [F]);
+    objective = +inf where no valid split exists.
+    """
+    ns = vals.shape[0]
+    sorted_seg, sorted_vals, sorted_cls = jax.lax.sort(
+        (seg, vals, cls), num_keys=2
+    )
+    active = sorted_seg < num_segments
+    onehot = (
+        jax.nn.one_hot(sorted_cls, num_classes, dtype=jnp.float32)
+        * active[:, None]
+    )
+    cum = jnp.cumsum(onehot, axis=0)  # inclusive prefix over everything
+
+    idx = jnp.arange(ns, dtype=jnp.int32)
+    prev_seg = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_seg[:-1]])
+    is_start = sorted_seg != prev_seg
+    start_idx = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    # Exclusive prefix at the segment start and at the current element.
+    zero = jnp.zeros((1, num_classes), jnp.float32)
+    cum_excl = jnp.concatenate([zero, cum[:-1]], axis=0)
+    left = cum_excl - jnp.take(cum_excl, start_idx, axis=0)  # [Ns, C]
+
+    totals = jnp.zeros((num_segments + 1, num_classes), jnp.float32)
+    totals = totals.at[sorted_seg].add(onehot)
+    right = jnp.take(totals, sorted_seg, axis=0) - left
+
+    prev_vals = jnp.concatenate([sorted_vals[:1], sorted_vals[:-1]])
+    valid = (
+        active
+        & ~is_start
+        & (sorted_vals - prev_vals >= 1e-6)  # learning.cpp:576-583
+        & (left.sum(axis=1) > 0)
+    )
+    objective = jnp.where(
+        valid,
+        _unnormalized_entropy(left) + _unnormalized_entropy(right),
+        jnp.inf,
+    )
+    threshold = 0.5 * (prev_vals + sorted_vals)
+
+    # Per-segment argmin with earliest-position tie-breaking.
+    seg_best = jnp.full((num_segments + 1,), jnp.inf, jnp.float32)
+    seg_best = seg_best.at[sorted_seg].min(objective)
+    is_winner = valid & (objective == jnp.take(seg_best, sorted_seg))
+    win_idx = jnp.full((num_segments + 1,), ns, jnp.int32)
+    win_idx = win_idx.at[jnp.where(is_winner, sorted_seg, num_segments)].min(idx)
+
+    safe_win = jnp.minimum(win_idx[:num_segments], ns - 1)
+    best_obj = seg_best[:num_segments]
+    best_thr = jnp.take(threshold, safe_win)
+    best_left = jnp.take(left.sum(axis=1), safe_win)
+    best_right = jnp.take(right.sum(axis=1), safe_win)
+    return best_obj, best_thr, best_left, best_right
+
+
+@partial(jax.jit, static_argnames=("num_segments", "num_classes", "num_layers"))
+def node_stats_step(
+    seg: jnp.ndarray,  # [Ns]
+    labels: jnp.ndarray,  # [Ns, L]
+    num_segments: int,
+    num_classes: int,
+    num_layers: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mass [F], distinct-class count per layer [F, L]) for stop checks."""
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)  # [Ns, L, C]
+    counts = jnp.zeros((num_segments + 1, num_layers, num_classes), jnp.float32)
+    counts = counts.at[seg].add(onehot)
+    counts = counts[:num_segments]
+    mass = counts[:, 0, :].sum(axis=-1)
+    distinct = (counts > 0).sum(axis=-1)  # [F, L]
+    return mass, distinct
+
+
+@partial(jax.jit, static_argnames=())
+def partition_step(
+    node_of: jnp.ndarray,  # [Ns] current tree-node id per example
+    x_vals: jnp.ndarray,  # [Ns] value of the node's best feature per example
+    thr_of: jnp.ndarray,  # [Nnodes] threshold per node
+    left_of: jnp.ndarray,  # [Nnodes] left-child id per node (0 = not split)
+) -> jnp.ndarray:
+    thr = jnp.take(thr_of, node_of)
+    left = jnp.take(left_of, node_of)
+    go_left = x_vals < thr
+    return jnp.where(left > 0, jnp.where(go_left, left, left + 1), node_of)
+
+
+# ======================================================================
+# Tree growth (host-driven levels, device-batched steps)
+# ======================================================================
+
+
+class _TreeBuilder:
+    def __init__(self) -> None:
+        self.split_feature: List[int] = [0]
+        self.threshold: List[float] = [0.0]
+        self.left_child: List[int] = [0]
+        self.depth: List[int] = [0]
+
+    def split(self, node: int, feature: int, threshold: float) -> int:
+        left = len(self.split_feature)
+        for _ in range(2):
+            self.split_feature.append(0)
+            self.threshold.append(0.0)
+            self.left_child.append(0)
+            self.depth.append(self.depth[node] + 1)
+        self.split_feature[node] = int(feature)
+        self.threshold[node] = float(threshold)
+        self.left_child[node] = left
+        return left
+
+
+def _grow_tree(
+    x: jnp.ndarray,  # [Ns, D] bootstrap sample (device)
+    y: np.ndarray,  # [Ns, L] labels (host + device)
+    cfg: TrainerConfig,
+    rng: np.random.Generator,
+    num_classes: int,
+) -> _TreeBuilder:
+    ns, d = x.shape
+    num_layers = y.shape[1]
+    k = cfg.num_features or int(math.ceil(math.sqrt(d)))
+    y_dev = jnp.asarray(y.astype(np.int32))
+
+    tree = _TreeBuilder()
+    node_of = jnp.zeros((ns,), jnp.int32)
+    frontier = [0]  # node ids eligible for splitting at this depth
+
+    while frontier:
+        f_count = len(frontier)
+        # Map tree-node id -> frontier slot (inactive -> f_count).
+        node_to_slot = np.full(len(tree.split_feature), f_count, np.int32)
+        for s, n in enumerate(frontier):
+            node_to_slot[n] = s
+        seg = jnp.take(jnp.asarray(node_to_slot), node_of)
+
+        # Random layer per frontier node (learning.cpp:489-493).
+        layers = rng.integers(0, num_layers, size=f_count).astype(np.int32)
+        layer_of = jnp.take(jnp.asarray(layers), jnp.minimum(seg, f_count - 1))
+        cls = jnp.take_along_axis(y_dev, layer_of[:, None], axis=1)[:, 0]
+        cls = jnp.where(seg < f_count, cls, 0)
+
+        mass, distinct = node_stats_step(
+            seg, y_dev, f_count, num_classes, num_layers
+        )
+        mass = np.asarray(mass)
+        distinct = np.asarray(distinct)
+
+        # Stop conditions (learning.cpp:521-531).
+        searchable = np.ones(f_count, bool)
+        for s, n in enumerate(frontier):
+            pure = distinct[s, layers[s]] <= 1
+            if mass[s] < cfg.min_split_examples or pure or tree.depth[n] > cfg.max_depth:
+                searchable[s] = False
+
+        # Feature sampling without replacement per node (:543-546).
+        feats = np.stack(
+            [rng.permutation(d)[:k] for _ in range(f_count)]
+        ).astype(np.int32)  # [F, k]
+        feats_dev = jnp.asarray(feats)
+
+        best = np.full(f_count, np.inf, np.float32)
+        best_thr = np.zeros(f_count, np.float32)
+        best_feat = np.full(f_count, -1, np.int32)
+        best_lmass = np.zeros(f_count, np.float32)
+        best_rmass = np.zeros(f_count, np.float32)
+
+        seg_search = jnp.where(
+            jnp.take(jnp.asarray(searchable.astype(np.int32)),
+                     jnp.minimum(seg, f_count - 1)) * (seg < f_count).astype(jnp.int32) > 0,
+            seg,
+            f_count,
+        )
+
+        for slot in range(k):
+            feat_per_example = jnp.take(
+                feats_dev[:, slot], jnp.minimum(seg, f_count - 1)
+            )
+            vals = jnp.take_along_axis(x, feat_per_example[:, None], axis=1)[:, 0]
+            obj, thr, lm, rm = split_search_step(
+                vals, seg_search, cls, f_count, num_classes
+            )
+            obj = np.asarray(obj)
+            thr = np.asarray(thr)
+            lm = np.asarray(lm)
+            rm = np.asarray(rm)
+            improve = obj < best  # strict <: earlier feature wins ties (:588)
+            best_thr = np.where(improve, thr, best_thr)
+            best_feat = np.where(improve, feats[:, slot], best_feat)
+            best_lmass = np.where(improve, lm, best_lmass)
+            best_rmass = np.where(improve, rm, best_rmass)
+            best = np.where(improve, obj, best)
+
+        # Apply splits (host) and partition examples (device).
+        new_frontier: List[int] = []
+        thr_of = np.zeros(len(tree.split_feature) + 2 * f_count, np.float32)
+        left_of = np.zeros(len(tree.split_feature) + 2 * f_count, np.int32)
+        feat_of = np.zeros(len(tree.split_feature) + 2 * f_count, np.int32)
+        any_split = False
+        for s, n in enumerate(frontier):
+            if not searchable[s] or best_feat[s] < 0:
+                continue
+            if (
+                best_lmass[s] < cfg.min_child_split_examples
+                or best_rmass[s] < cfg.min_child_split_examples
+            ):
+                continue  # learning.cpp:606
+            left = tree.split(n, best_feat[s], best_thr[s])
+            thr_of[n] = best_thr[s]
+            left_of[n] = left
+            feat_of[n] = best_feat[s]
+            new_frontier.extend([left, left + 1])
+            any_split = True
+
+        if any_split:
+            nn = len(tree.split_feature)
+            feat_per_example = jnp.take(jnp.asarray(feat_of[:nn]), node_of)
+            x_vals = jnp.take_along_axis(x, feat_per_example[:, None], axis=1)[:, 0]
+            node_of = partition_step(
+                node_of,
+                x_vals,
+                jnp.asarray(thr_of[:nn]),
+                jnp.asarray(left_of[:nn]),
+            )
+        frontier = new_frontier
+
+    return tree
+
+
+# ======================================================================
+# Leaf histogram refit (updateMultiHistograms, learning.cpp:963-1012)
+# ======================================================================
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "num_classes", "max_depth"))
+def _leaf_histogram_step(
+    x: jnp.ndarray,  # [N, D] FULL dataset
+    labels: jnp.ndarray,  # [N] one layer's labels
+    freq: jnp.ndarray,  # [C] inverted class frequency
+    split_feature: jnp.ndarray,
+    threshold: jnp.ndarray,
+    left_child: jnp.ndarray,
+    num_nodes: int,
+    num_classes: int,
+    max_depth: int,
+) -> jnp.ndarray:  # [num_nodes, C] weighted counts
+    node = jnp.zeros((x.shape[0],), jnp.int32)
+
+    def step(node):
+        f = jnp.take(split_feature, node)
+        thr = jnp.take(threshold, node)
+        lc = jnp.take(left_child, node)
+        xv = jnp.take_along_axis(x, f[:, None], axis=1)[:, 0]
+        nxt = lc + (xv >= thr).astype(jnp.int32)
+        return jnp.where(lc == 0, node, nxt)
+
+    node = jax.lax.fori_loop(0, max_depth, lambda _, n: step(n), node)
+    w = jnp.take(freq, labels)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32) * w[:, None]
+    hist = jnp.zeros((num_nodes, num_classes), jnp.float32)
+    return hist.at[node].add(onehot)
+
+
+def _inverted_class_frequency(labels: np.ndarray, c: int) -> np.ndarray:
+    """data.h:345-369: size / per-class count."""
+    counts = np.bincount(labels, minlength=c).astype(np.float64)
+    return np.where(counts > 0, len(labels) / np.maximum(counts, 1), 0.0).astype(
+        np.float32
+    )
+
+
+# ======================================================================
+# Public API
+# ======================================================================
+
+
+class ForestTrainer:
+    """RandomForestLearner equivalent over dense feature/label tensors."""
+
+    def __init__(self, config: TrainerConfig):
+        self.config = config
+
+    def learn(
+        self,
+        features: np.ndarray,  # [N, D] float32
+        labels: np.ndarray,  # [N, L] int (all >= 0)
+        class_counts: Optional[Sequence[int]] = None,
+        multi_label: Optional[bool] = None,
+        progress: bool = True,
+    ) -> Forest:
+        features = np.ascontiguousarray(features, dtype=np.float32)
+        labels = np.ascontiguousarray(labels)
+        if labels.ndim == 1:
+            labels = labels[:, None]
+        n, d = features.shape
+        num_layers = labels.shape[1]
+        if multi_label is None:
+            multi_label = num_layers > 1
+        if class_counts is None:
+            class_counts = [int(labels[:, l].max()) + 1 for l in range(num_layers)]
+        c_max = max(class_counts)
+        cfg = self.config
+        n_bootstrap = cfg.num_bootstrap_examples or n
+        rng = np.random.default_rng(cfg.seed)
+
+        x_full = jnp.asarray(features)
+        trees: List[TreeArrays] = []
+        for t in range(cfg.num_trees):
+            start = time.perf_counter()
+            if cfg.use_bootstrap:
+                idx = rng.integers(0, n, size=n_bootstrap)
+                xb = jnp.take(x_full, jnp.asarray(idx), axis=0)
+                yb = labels[idx]
+            else:
+                xb, yb = x_full, labels
+            builder = _grow_tree(xb, yb, cfg, rng, c_max)
+
+            # Leaf refit on the full dataset per layer (:963-1012).
+            nn = len(builder.split_feature)
+            sf = jnp.asarray(np.asarray(builder.split_feature, np.int32))
+            th = jnp.asarray(np.asarray(builder.threshold, np.float32))
+            lc = jnp.asarray(np.asarray(builder.left_child, np.int32))
+            max_depth = max(builder.depth) if nn else 0
+            hist = np.zeros((nn, num_layers, c_max), np.float32)
+            for l in range(num_layers):
+                c = class_counts[l]
+                freq = _inverted_class_frequency(labels[:, l].astype(np.int64), c)
+                raw = np.asarray(
+                    _leaf_histogram_step(
+                        x_full,
+                        jnp.asarray(labels[:, l].astype(np.int32)),
+                        jnp.asarray(freq),
+                        sf, th, lc,
+                        num_nodes=nn,
+                        num_classes=c_max,
+                        max_depth=max_depth,
+                    )
+                )[:, :c]
+                total = raw.sum(axis=1, keepdims=True)
+                smoothed = np.log(
+                    (raw + cfg.smoothing) / (total + c * cfg.smoothing)
+                )
+                hist[:, l, :c] = smoothed
+            # Zero non-leaf rows (inner nodes have no histograms).
+            leaf_mask = np.asarray(builder.left_child) == 0
+            hist *= leaf_mask[:, None, None]
+
+            trees.append(
+                TreeArrays(
+                    split_feature=np.asarray(builder.split_feature, np.int32),
+                    threshold=np.asarray(builder.threshold, np.float32),
+                    left_child=np.asarray(builder.left_child, np.int32),
+                    leaf_hist=hist,
+                )
+            )
+            if progress:
+                log.info(
+                    "Finished tree %d/%d: %d nodes, depth %d, %.1fs",
+                    t + 1, cfg.num_trees, nn, max_depth,
+                    time.perf_counter() - start,
+                )
+
+        return build_forest(trees, class_counts, multi_label=multi_label)

@@ -1,0 +1,184 @@
+"""Projector, unary accumulation, and local-map pipeline tests."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from rovinasemanticsegmentation_tpu.fusion.projector import MultiProjector
+from rovinasemanticsegmentation_tpu.fusion.unaries import accumulate_unaries
+from rovinasemanticsegmentation_tpu.pipelines.local_map import (
+    CrfParams,
+    LocalMapPipeline,
+    MapNodeFrames,
+)
+from rovinasemanticsegmentation_tpu.utils.calibration import Calibration
+
+
+def simple_projector(h=20, w=24, ncam=1):
+    calibs = [
+        Calibration(
+            intrinsic=np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]]),
+            rotation=np.eye(3),
+            translation=np.zeros(3),
+        )
+        for _ in range(ncam)
+    ]
+    return MultiProjector.from_calibrations(
+        calibs, h, w, min_distance=0.5, max_distance=15.0
+    )
+
+
+class TestProjector:
+    def test_center_point(self):
+        proj = simple_projector()
+        pts = np.array([[0.0, 0.0, 2.0]], dtype=np.float32)
+        zbuf, idx = proj.project(pts, np.eye(4))
+        idx = np.asarray(idx)
+        assert idx[10, 12] == 0  # principal point
+        assert (idx >= 0).sum() == 1
+        assert np.isfinite(np.asarray(zbuf)[10, 12])
+
+    def test_zbuffer_keeps_nearest(self):
+        proj = simple_projector()
+        # Two points on the same ray; nearest wins.
+        pts = np.array([[0.0, 0.0, 4.0], [0.0, 0.0, 2.0]], dtype=np.float32)
+        _, idx = proj.project(pts, np.eye(4))
+        assert np.asarray(idx)[10, 12] == 1
+
+    def test_behind_and_out_of_range_culled(self):
+        proj = simple_projector()
+        pts = np.array(
+            [[0.0, 0.0, -2.0], [0.0, 0.0, 0.2], [0.0, 0.0, 50.0]], dtype=np.float32
+        )
+        _, idx = proj.project(pts, np.eye(4))
+        assert (np.asarray(idx) == -1).all()
+
+    def test_pose_inverse_applied(self):
+        proj = simple_projector()
+        # Keyframe at x=+1 looking down +z; world point at (1, 0, 2).
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 1.0
+        pts = np.array([[1.0, 0.0, 2.0]], dtype=np.float32)
+        _, idx = proj.project(pts, pose)
+        assert np.asarray(idx)[10, 12] == 0
+
+    def test_multi_camera_stacking(self):
+        h, w = 20, 24
+        # Second camera rotated 180 deg about y: sees points behind.
+        calibs = [
+            Calibration(
+                intrinsic=np.array([[20.0, 0, 12], [0, 20.0, 10], [0, 0, 1]]),
+                rotation=np.eye(3),
+                translation=np.zeros(3),
+            ),
+            Calibration(
+                intrinsic=np.array([[20.0, 0, 12], [0, 20.0, 10], [0, 0, 1]]),
+                rotation=np.array([[-1, 0, 0], [0, 1, 0], [0, 0, -1]], dtype=np.float32),
+                translation=np.zeros(3),
+            ),
+        ]
+        proj = MultiProjector.from_calibrations(calibs, h, w, 0.5, 15.0)
+        pts = np.array([[0, 0, 2.0], [0, 0, -2.0]], dtype=np.float32)
+        _, idx = proj.project(pts, np.eye(4))
+        idx = np.asarray(idx)
+        assert idx[10, 12] == 0  # cam 0 sees the front point
+        assert idx[h + 10, 12] == 1  # cam 1 sees the back point
+
+
+class TestUnaries:
+    def test_scatter_add(self):
+        post = np.zeros((4, 4, 3), dtype=np.float32)
+        post[1, 1] = [0.1, 0.2, 0.7]
+        post[2, 2] = [0.5, 0.3, 0.2]
+        idx = np.full((4, 4), -1, dtype=np.int32)
+        idx[1, 1] = 0
+        idx[2, 2] = 0  # two pixels hit the same point
+        un = jnp.zeros((2, 3))
+        out = np.asarray(accumulate_unaries(un, jnp.asarray(post), jnp.asarray(idx), 2))
+        np.testing.assert_allclose(out[0], [0.6, 0.5, 0.9], rtol=1e-6)
+        np.testing.assert_allclose(out[1], 0.0)
+
+
+class TestLocalMapPipeline:
+    def _scene(self):
+        proj = simple_projector()
+        rng = np.random.default_rng(0)
+        # Points in front of the camera spread over the image.
+        n = 50
+        pts = np.stack(
+            [
+                rng.uniform(-0.4, 0.4, n),
+                rng.uniform(-0.3, 0.3, n),
+                np.full(n, 2.0),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        return proj, pts, rgb
+
+    def _posterior_for(self, proj, pts, label, c):
+        # Posterior image voting `label` everywhere.
+        h, w = proj.height, proj.width
+        post = np.full((h, w, c), 0.1, dtype=np.float32)
+        post[..., label] = 5.0
+        return post
+
+    def test_plain_argmax_fusion(self):
+        proj, pts, rgb = self._scene()
+        pipeline = LocalMapPipeline(
+            proj, class_counts=[3], unknown_labels=[2], crf=CrfParams()
+        )
+        node = MapNodeFrames(
+            pose=np.eye(4), posteriors=[[self._posterior_for(proj, pts, 1, 3)]]
+        )
+        labels = pipeline.run(pts, rgb, [node])[0]
+        # Visible points labeled 1; points never hit stay Unknown (2).
+        _, idx = proj.project(pts, np.eye(4))
+        hit = np.unique(np.asarray(idx))
+        hit = hit[hit >= 0]
+        assert (labels[hit] == 1).all()
+        missed = np.setdiff1d(np.arange(len(pts)), hit)
+        assert (labels[missed] == 2).all()
+
+    def test_missing_frame_tolerated(self):
+        proj, pts, rgb = self._scene()
+        pipeline = LocalMapPipeline(proj, [3], [2])
+        node = MapNodeFrames(pose=np.eye(4), posteriors=[None])
+        labels = pipeline.run(pts, rgb, [node])[0]
+        assert (labels == 2).all()  # no votes anywhere -> Unknown
+
+    def test_crf_smoothing_path(self):
+        proj, pts, rgb = self._scene()
+        pipeline = LocalMapPipeline(
+            proj, class_counts=[3], unknown_labels=[2],
+            crf=CrfParams(use_dense_crf=True, iterations=5),
+        )
+        node = MapNodeFrames(
+            pose=np.eye(4), posteriors=[[self._posterior_for(proj, pts, 0, 3)]]
+        )
+        labels = pipeline.run(pts, rgb, [node])[0]
+        _, idx = proj.project(pts, np.eye(4))
+        hit = np.unique(np.asarray(idx))
+        hit = hit[hit >= 0]
+        # CRF smoothing keeps the dominant vote on observed points.
+        assert (labels[hit] == 0).mean() > 0.9
+
+    def test_multi_layer(self):
+        proj, pts, rgb = self._scene()
+        pipeline = LocalMapPipeline(proj, [3, 4], [2, 3])
+        node = MapNodeFrames(
+            pose=np.eye(4),
+            posteriors=[[
+                self._posterior_for(proj, pts, 1, 3),
+                self._posterior_for(proj, pts, 2, 4),
+            ]],
+        )
+        labels = pipeline.run(pts, rgb, [node])
+        assert len(labels) == 2
+        _, idx = proj.project(pts, np.eye(4))
+        hit = np.unique(np.asarray(idx))
+        hit = hit[hit >= 0]
+        assert (labels[0][hit] == 1).all()
+        assert (labels[1][hit] == 2).all()

@@ -1,0 +1,96 @@
+"""Single-frame pipeline + sharded batch tests."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from rovinasemanticsegmentation_tpu.features.extractor import FeatureConfig
+from rovinasemanticsegmentation_tpu.models.forest import random_forest
+from rovinasemanticsegmentation_tpu.pipelines.single_frame import (
+    SingleFramePipeline,
+)
+from rovinasemanticsegmentation_tpu.utils.calibration import Calibration
+
+
+def frame(h=32, w=40, seed=0):
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    depth = rng.integers(600, 9000, (h, w)).astype(np.uint16)
+    calib = Calibration(
+        intrinsic=np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]]),
+        rotation=np.eye(3),
+        translation=np.zeros(3),
+    )
+    return rgb, depth, calib
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    rng = np.random.default_rng(7)
+    forest = random_forest(
+        rng, num_trees=4, depth=8, num_features=78,
+        class_counts=[8, 9], max_nodes=301,
+    )
+    cfg = FeatureConfig(patch_size=15, patch_size_reduce=5)
+    assert cfg.feature_length == 78
+    return SingleFramePipeline(cfg, forest, stride=2)
+
+
+class TestSingleFrame:
+    def test_shapes_and_ranges(self, pipeline):
+        rgb, depth, calib = frame()
+        res = pipeline.run(rgb, depth, calib)
+        assert len(res.labels) == 2
+        assert res.labels[0].shape == (32, 40)
+        assert res.posteriors[0].shape == (32, 40, 8)
+        assert res.posteriors[1].shape == (32, 40, 9)
+        lab0 = np.asarray(res.labels[0])
+        assert lab0.min() >= -1 and lab0.max() < 8
+        lab1 = np.asarray(res.labels[1])
+        assert lab1.min() >= -1 and lab1.max() < 9
+
+    def test_invalid_depth_gives_no_vote(self, pipeline):
+        rgb, depth, calib = frame()
+        depth[:] = 100  # everything too close
+        res = pipeline.run(rgb, depth, calib)
+        for lab in res.labels:
+            assert (np.asarray(lab) == -1).all()
+
+    def test_argmax_matches_posteriors(self, pipeline):
+        rgb, depth, calib = frame(seed=3)
+        res = pipeline.run(rgb, depth, calib)
+        for lab, post in zip(res.labels, res.posteriors):
+            post = np.asarray(post)
+            lab = np.asarray(lab)
+            want = np.where(post.max(-1) > -1000.0, post.argmax(-1), -1)
+            np.testing.assert_array_equal(lab, want)
+
+    def test_deterministic(self, pipeline):
+        rgb, depth, calib = frame(seed=5)
+        r1 = pipeline.run(rgb, depth, calib)
+        r2 = pipeline.run(rgb, depth, calib)
+        np.testing.assert_array_equal(
+            np.asarray(r1.labels[0]), np.asarray(r2.labels[0])
+        )
+
+
+class TestShardedBatch:
+    def test_dryrun_8_devices(self):
+        from rovinasemanticsegmentation_tpu.parallel.mesh import (
+            make_mesh,
+            shard_batch_pipeline,
+        )
+
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(8)
+        assert mesh.shape == {"data": 2, "model": 4}
+        shard_batch_pipeline(mesh)
+
+    def test_mesh_factorization(self):
+        from rovinasemanticsegmentation_tpu.parallel.mesh import make_mesh
+
+        assert make_mesh(8).shape == {"data": 2, "model": 4}
+        assert make_mesh(2).shape == {"data": 1, "model": 2}
+        assert make_mesh(1).shape == {"data": 1, "model": 1}

@@ -1,0 +1,229 @@
+"""Forest trainer tests: split criterion semantics + end-to-end learning."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from rovinasemanticsegmentation_tpu.models.forest import ForestPredictor
+from rovinasemanticsegmentation_tpu.train.forest_trainer import (
+    ForestTrainer,
+    TrainerConfig,
+    split_search_step,
+    _inverted_class_frequency,
+)
+
+
+def oracle_best_split(vals, cls, num_classes):
+    """Literal port of the per-node sweep (learning.cpp:551-603)."""
+    order = np.argsort(vals, kind="stable")
+    v, c = vals[order], cls[order]
+    n = len(v)
+
+    def ent(h):
+        m = h.sum()
+        out = m * np.log2(m) if m > 0 else 0.0
+        for x in h:
+            if x > 0:
+                out -= x * np.log2(x)
+        return out
+
+    best = np.inf
+    best_thr, best_lm, best_rm = 0.0, 0, 0
+    left = np.zeros(num_classes)
+    right = np.bincount(c, minlength=num_classes).astype(float)
+    left_value, left_class = v[0], c[0]
+    for m in range(1, n):
+        left[left_class] += 1
+        right[left_class] -= 1
+        if v[m] - left_value < 1e-6:
+            left_value, left_class = v[m], c[m]
+            continue
+        obj = ent(left) + ent(right)
+        if obj < best:
+            best = obj
+            best_thr = 0.5 * (left_value + v[m])
+            best_lm, best_rm = left.sum(), right.sum()
+        left_value, left_class = v[m], c[m]
+    return best, best_thr, best_lm, best_rm
+
+
+class TestSplitSearch:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_oracle_single_segment(self, seed):
+        rng = np.random.default_rng(seed)
+        n, c = 100, 4
+        vals = rng.normal(size=n).astype(np.float32)
+        cls = rng.integers(0, c, n).astype(np.int32)
+        seg = np.zeros(n, np.int32)
+        obj, thr, lm, rm = (
+            np.asarray(a)
+            for a in split_search_step(
+                jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls), 1, c
+            )
+        )
+        want = oracle_best_split(vals, cls, c)
+        assert obj[0] == pytest.approx(want[0], rel=1e-5)
+        assert thr[0] == pytest.approx(want[1], rel=1e-5)
+        assert lm[0] == want[2] and rm[0] == want[3]
+
+    def test_multiple_segments_independent(self):
+        rng = np.random.default_rng(3)
+        n, c = 60, 3
+        vals = rng.normal(size=2 * n).astype(np.float32)
+        cls = rng.integers(0, c, 2 * n).astype(np.int32)
+        seg = np.repeat([0, 1], n).astype(np.int32)
+        obj, thr, lm, rm = (
+            np.asarray(a)
+            for a in split_search_step(
+                jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls), 2, c
+            )
+        )
+        for s in range(2):
+            want = oracle_best_split(vals[s * n:(s + 1) * n], cls[s * n:(s + 1) * n], c)
+            assert obj[s] == pytest.approx(want[0], rel=1e-5)
+            assert thr[s] == pytest.approx(want[1], rel=1e-5)
+
+    def test_identical_values_no_split(self):
+        vals = np.ones(20, np.float32)
+        cls = np.arange(20).astype(np.int32) % 2
+        obj, *_ = split_search_step(
+            jnp.asarray(vals), jnp.zeros(20, jnp.int32), jnp.asarray(cls), 1, 2
+        )
+        assert np.isinf(np.asarray(obj)[0])
+
+    def test_inactive_segment_ignored(self):
+        vals = np.linspace(0, 1, 20).astype(np.float32)
+        cls = (vals > 0.5).astype(np.int32)
+        seg = np.full(20, 1, np.int32)  # == num_segments -> inactive
+        obj, *_ = split_search_step(
+            jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls), 1, 2
+        )
+        assert np.isinf(np.asarray(obj)[0])
+
+
+class TestForestTrainer:
+    def test_learns_separable_data(self):
+        rng = np.random.default_rng(0)
+        n = 2000
+        x = rng.normal(size=(n, 10)).astype(np.float32)
+        y = ((x[:, 3] > 0).astype(np.int32) + 2 * (x[:, 7] > 0.5)).astype(np.int32)
+        trainer = ForestTrainer(
+            TrainerConfig(num_trees=3, max_depth=10, min_split_examples=5, seed=1)
+        )
+        forest = trainer.learn(x, y, class_counts=[4])
+        pred = ForestPredictor(forest)
+        post = np.asarray(pred.log_posterior(jnp.asarray(x)))[:, 0, :4]
+        acc = (post.argmax(1) == y).mean()
+        assert acc > 0.97
+
+    def test_multi_label_learning(self):
+        rng = np.random.default_rng(1)
+        n = 1500
+        x = rng.normal(size=(n, 8)).astype(np.float32)
+        y = np.stack(
+            [(x[:, 0] > 0).astype(np.int32),
+             (x[:, 1] > 0).astype(np.int32) + (x[:, 2] > 0)],
+            axis=1,
+        )
+        trainer = ForestTrainer(
+            TrainerConfig(num_trees=4, max_depth=8, min_split_examples=5, seed=2)
+        )
+        forest = trainer.learn(x, y, class_counts=[2, 3])
+        assert forest.multi_label
+        assert forest.num_layers == 2
+        pred = ForestPredictor(forest)
+        post = np.asarray(pred.log_posterior(jnp.asarray(x)))
+        acc0 = (post[:, 0, :2].argmax(1) == y[:, 0]).mean()
+        acc1 = (post[:, 1, :3].argmax(1) == y[:, 1]).mean()
+        assert acc0 > 0.9 and acc1 > 0.8
+
+    def test_max_depth_respected(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(500, 5)).astype(np.float32)
+        y = rng.integers(0, 2, 500).astype(np.int32)
+        forest = ForestTrainer(
+            TrainerConfig(num_trees=1, max_depth=3, min_split_examples=2, seed=0)
+        ).learn(x, y, class_counts=[2])
+        assert forest.max_depth <= 4  # children of depth-3 nodes
+
+    def test_min_split_respected(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(100, 3)).astype(np.float32)
+        y = rng.integers(0, 2, 100).astype(np.int32)
+        # min_split above the dataset size: the root may never split.
+        forest = ForestTrainer(
+            TrainerConfig(
+                num_trees=1, max_depth=30, min_split_examples=101,
+                use_bootstrap=False, seed=0,
+            )
+        ).learn(x, y, class_counts=[2])
+        assert forest.node_counts == (1,)
+        # min_split = 51: every *split* node must have held >= 51 examples
+        # (unbalanced splits may legally chain deep — e.g. 100 -> 99 -> ...).
+        forest2 = ForestTrainer(
+            TrainerConfig(
+                num_trees=1, max_depth=30, min_split_examples=51,
+                use_bootstrap=False, seed=0,
+            )
+        ).learn(x, y, class_counts=[2])
+        view = forest2.tree_view(0)
+        counts = np.zeros(len(view.split_feature), int)
+        for xi in x:
+            n = 0
+            while view.left_child[n] != 0:
+                n = view.left_child[n] + (
+                    0 if xi[view.split_feature[n]] < view.threshold[n] else 1
+                )
+            counts[n] += 1
+        mass = counts.copy()
+        for n in reversed(range(len(counts))):
+            if view.left_child[n] != 0:
+                mass[n] = mass[view.left_child[n]] + mass[view.left_child[n] + 1]
+        for n in range(len(counts)):
+            if view.left_child[n] != 0:
+                assert mass[n] >= 51
+
+    def test_pure_node_stops(self):
+        x = np.linspace(0, 1, 50).astype(np.float32)[:, None]
+        y = np.zeros(50, np.int32)  # single class: pure root, no splits
+        forest = ForestTrainer(
+            TrainerConfig(num_trees=1, min_split_examples=2, use_bootstrap=False)
+        ).learn(x, y, class_counts=[2])
+        assert forest.node_counts == (1,)
+
+    def test_leaf_histograms_log_smoothed(self):
+        # A pure single-node tree: leaf histogram must be
+        # log((h*freq + 1) / (total + C)) with inverted class frequency.
+        x = np.zeros((10, 2), np.float32)
+        y = np.zeros(10, np.int32)
+        forest = ForestTrainer(
+            TrainerConfig(num_trees=1, use_bootstrap=False)
+        ).learn(x, y, class_counts=[2])
+        freq = _inverted_class_frequency(y.astype(np.int64), 2)
+        h0 = 10 * freq[0]
+        want0 = np.log((h0 + 1) / (h0 + 2))
+        want1 = np.log(1 / (h0 + 2))
+        np.testing.assert_allclose(
+            forest.leaf_hist[0, 0, 0], [want0, want1], rtol=1e-5
+        )
+
+    def test_roundtrip_through_reference_format(self, tmp_path):
+        from rovinasemanticsegmentation_tpu.models.forest import (
+            load_forest,
+            save_forest,
+        )
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(300, 6)).astype(np.float32)
+        y = np.stack([(x[:, 0] > 0), (x[:, 1] > 0)], 1).astype(np.int32)
+        forest = ForestTrainer(
+            TrainerConfig(num_trees=2, max_depth=6, min_split_examples=5)
+        ).learn(x, y, class_counts=[2, 2])
+        path = str(tmp_path / "f.dat")
+        save_forest(path, forest)
+        loaded = load_forest(path)
+        p1 = np.asarray(ForestPredictor(forest).log_posterior(jnp.asarray(x)))
+        p2 = np.asarray(ForestPredictor(loaded).log_posterior(jnp.asarray(x)))
+        np.testing.assert_allclose(p1, p2, rtol=1e-6)
