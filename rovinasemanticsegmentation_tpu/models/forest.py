@@ -336,18 +336,76 @@ def write_reference_forest(f: BinaryIO, trees: Sequence[RawTree]) -> None:
         write_reference_tree(f, t)
 
 
-def load_forest(path_or_bytes, class_counts: Optional[Sequence[int]] = None) -> Forest:
+def _load_forest_native(
+    data: bytes, class_counts: Optional[Sequence[int]]
+) -> Optional[Forest]:
+    """Single-pass decode via the C++ codec (native/forest_codec.cpp)."""
+    from ..native import native_forest_decode
+
+    decoded = native_forest_decode(data)
+    if decoded is None:
+        return None
+    node_counts, split, thr, left, hist_index, hist_vals = decoded
+    if len(node_counts) == 0:
+        raise ValueError("Empty forest file")
+    multi = bool(len(hist_index)) and bool((hist_index[:, 2] >= 0).any())
+    if class_counts is None:
+        if multi:
+            rows = hist_index[hist_index[:, 2] >= 0]
+            num_layers = int(rows[:, 2].max()) + 1
+            counts = tuple(
+                int(rows[rows[:, 2] == l][:, 3].max()) for l in range(num_layers)
+            )
+        else:
+            counts = (int(hist_index[:, 3].max()) if len(hist_index) else 1,)
+    else:
+        counts = tuple(int(c) for c in class_counts)
+    num_layers = len(counts)
+    c_max = max(counts)
+
+    trees: List[TreeArrays] = []
+    starts = np.concatenate([[0], np.cumsum(node_counts)])
+    hists = [
+        np.zeros((int(node_counts[t]), num_layers, c_max), np.float32)
+        for t in range(len(node_counts))
+    ]
+    for t, v, l, length, off in hist_index:
+        li = 0 if l < 0 else int(l)
+        hists[t][v, li, :length] = hist_vals[off : off + length]
+    for t in range(len(node_counts)):
+        s, e = starts[t], starts[t + 1]
+        trees.append(
+            TreeArrays(
+                split_feature=split[s:e],
+                threshold=thr[s:e],
+                left_child=left[s:e],
+                leaf_hist=hists[t],
+            )
+        )
+    return build_forest(trees, counts, multi_label=multi)
+
+
+def load_forest(
+    path_or_bytes,
+    class_counts: Optional[Sequence[int]] = None,
+    use_native: bool = True,
+) -> Forest:
     """Load a reference ``forest.dat`` into SoA tensors.
 
     ``class_counts`` may be omitted; it is then inferred from the first
-    non-empty leaf histogram of each layer.
+    non-empty leaf histogram of each layer. Decodes through the C++ codec
+    when available, else pure Python.
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        f: BinaryIO = _io.BytesIO(path_or_bytes)
-        raw = read_reference_forest(f)
+        data = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as fh:
-            raw = read_reference_forest(fh)
+            data = fh.read()
+    if use_native:
+        forest = _load_forest_native(data, class_counts)
+        if forest is not None:
+            return forest
+    raw = read_reference_forest(_io.BytesIO(data))
     if not raw:
         raise ValueError("Empty forest file")
 

@@ -52,10 +52,31 @@ class PermutohedralLattice:
         return 1.0 / (1.0 + 2.0 ** (-self.dim))
 
 
-def build_lattice(features: np.ndarray) -> PermutohedralLattice:
-    """Build the lattice for features [N, d] (permutohedral.cpp:323-474)."""
+def build_lattice(
+    features: np.ndarray, use_native: bool = True
+) -> PermutohedralLattice:
+    """Build the lattice for features [N, d] (permutohedral.cpp:323-474).
+
+    Tries the C++ hash-table builder (``native/lattice_builder.cpp``) first;
+    falls back to the vectorized NumPy sort/unique path below.
+    """
     features = np.asarray(features, dtype=np.float32)
     n, d = features.shape
+
+    if use_native:
+        from ..native import native_lattice_build
+
+        built = native_lattice_build(features)
+        if built is not None:
+            offsets, bary, blur_n1, blur_n2, m = built
+            return PermutohedralLattice(
+                offsets=offsets,
+                barycentric=bary,
+                blur_n1=blur_n1,
+                blur_n2=blur_n2,
+                num_vertices=m,
+                dim=d,
+            )
 
     inv_std_dev = np.sqrt(2.0 / 3.0) * (d + 1)
     scale = (1.0 / np.sqrt((np.arange(d) + 2.0) * (np.arange(d) + 1.0))) * inv_std_dev
