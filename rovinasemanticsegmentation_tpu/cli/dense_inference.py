@@ -1,0 +1,103 @@
+"""2D dense-CRF demo (parity with densecrf's dense_inference example).
+
+Usage: python -m rovinasemanticsegmentation_tpu.cli.dense_inference \
+           <image.ppm> <annotation.ppm> <output.ppm>
+
+Reproduces ``/root/reference/third-party/densecrf/examples/dense_inference.cpp:54-115``:
+unary energies from a noisy annotation with GT_PROB = 0.5, a grid Gaussian
+pairwise (sx = sy = 3, Potts 3) plus an appearance bilateral pairwise
+(sx = sy = 80, sr = sg = sb = 13, Potts 10), 5 mean-field iterations, MAP,
+and a colorized PPM where each label takes the color of its first
+occurrence in the annotation (the example's getColor/putColor codec).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..models.crf import DenseCRF2D, PottsCompatibility
+from ..utils.imageio import load_ppm, save_ppm
+
+M = 21  # number of labels, dense_inference.cpp:33
+GT_PROB = 0.5  # dense_inference.cpp:35
+
+
+def unary_from_annotation(anno: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Classify the annotation into labels + unary energies (:37-52).
+
+    Colors are assigned label ids in order of first appearance; pure black
+    (0) is "unknown" (label -1). Returns (unary [N, M], labels [N]).
+    """
+    h, w = anno.shape[:2]
+    packed = (
+        anno[..., 0].astype(np.int32)
+        | (anno[..., 1].astype(np.int32) << 8)
+        | (anno[..., 2].astype(np.int32) << 16)
+    ).reshape(-1)
+    colors: Dict[int, int] = {}
+    labels = np.full(packed.shape, -1, np.int32)
+    for i, c in enumerate(packed):
+        if c == 0:
+            continue  # unknown
+        if int(c) not in colors:
+            if len(colors) >= M:
+                labels[i] = -1
+                continue
+            colors[int(c)] = len(colors)
+        labels[i] = colors[int(c)]
+
+    u_energy = -np.log(1.0 / M)
+    n_energy = -np.log((1.0 - GT_PROB) / (M - 1))
+    p_energy = -np.log(GT_PROB)
+    unary = np.full((h * w, M), u_energy, np.float32)
+    known = labels >= 0
+    unary[known] = n_energy
+    unary[known, labels[known]] = p_energy
+    return unary, labels
+
+
+def colorize(map_labels: np.ndarray, anno: np.ndarray) -> np.ndarray:
+    """Map labels back to their first-appearance colors (putColor)."""
+    packed = (
+        anno[..., 0].astype(np.int32)
+        | (anno[..., 1].astype(np.int32) << 8)
+        | (anno[..., 2].astype(np.int32) << 16)
+    ).reshape(-1)
+    palette = np.zeros((M, 3), np.uint8)
+    colors: Dict[int, int] = {}
+    for c in packed:
+        if c == 0 or int(c) in colors or len(colors) >= M:
+            continue
+        colors[int(c)] = len(colors)
+        palette[colors[int(c)]] = (c & 255, (c >> 8) & 255, (c >> 16) & 255)
+    return palette[map_labels]
+
+
+def run(image_path: str, anno_path: str, out_path: str, iterations: int = 5) -> np.ndarray:
+    im = load_ppm(image_path)
+    anno = load_ppm(anno_path)
+    h, w = im.shape[:2]
+    unary, _ = unary_from_annotation(anno)
+
+    crf = DenseCRF2D(w, h, M)
+    crf.set_unary_energy(unary)
+    crf.add_pairwise_gaussian(3, 3, PottsCompatibility(3))
+    crf.add_pairwise_bilateral(80, 80, 13, 13, 13, im, PottsCompatibility(10))
+    map_labels = crf.map(iterations)
+    result = colorize(map_labels, anno).reshape(h, w, 3)
+    save_ppm(out_path, result)
+    return map_labels.reshape(h, w)
+
+
+def main() -> None:
+    if len(sys.argv) != 4:
+        print("Usage: dense_inference <image.ppm> <annotation.ppm> <output.ppm>")
+        raise SystemExit(1)
+    run(sys.argv[1], sys.argv[2], sys.argv[3])
+
+
+if __name__ == "__main__":
+    main()

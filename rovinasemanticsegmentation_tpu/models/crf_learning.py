@@ -1,0 +1,255 @@
+"""CRF parameter learning: objectives, logistic unary, L-BFGS driver.
+
+Capability parity with the densecrf learning stack
+(``/root/reference/third-party/densecrf/src/objective.cpp:27-109``,
+``src/unary.cpp:27-68``, ``src/optimization.cpp:27-135``), re-designed for
+JAX: the reference hand-derives gradients through mean-field
+(``densecrf.cpp:238-297``) and the permutohedral filter
+(``permutohedral.cpp:612-695``); here the mean-field iterations are unrolled
+and differentiated with ``jax.grad`` — the lattice filter is linear in its
+values, so autodiff produces the exact transpose filtering the reference
+implements by hand. The lattice *structure* (vertex geometry) is treated as
+fixed per evaluation, as in the reference's DIAG/FULL kernel learning where
+the lattice is rebuilt after each parameter step (pairwise.cpp:140-151).
+
+Objectives evaluate over marginals ``Q [N, C]`` and ground truth ``gt [N]``
+(labels < 0 ignored) and return the scalar the reference's ``evaluate``
+returns (objectives are maximized):
+
+- :func:`log_likelihood`: mean log Q[gt] with a robustness epsilon
+  (objective.cpp:37-50);
+- :func:`hamming`: class-weighted expected accuracy with the
+  ``class_weight_pow`` reweighting (objective.cpp:51-80);
+- :func:`intersection_over_union`: soft IoU over marginals
+  (objective.cpp:81-109).
+
+Numeric-gradient checking mirrors ``optimization.cpp`` (the reference's only
+unit-test style) and is used by the tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+from .crf import exp_and_normalize
+from .lattice import PermutohedralLattice, build_lattice, lattice_filter
+
+
+# ----------------------------------------------------------------------
+# Objectives (maximized)
+# ----------------------------------------------------------------------
+
+
+def log_likelihood(q: jnp.ndarray, gt: jnp.ndarray, robust: float = 0.0) -> jnp.ndarray:
+    """objective.cpp:37-50: mean over labeled points of log(Q[gt] + robust)."""
+    n, c = q.shape
+    valid = (gt >= 0) & (gt < c)
+    safe_gt = jnp.clip(gt, 0, c - 1)
+    qq = jnp.maximum(jnp.take_along_axis(q, safe_gt[:, None], axis=1)[:, 0] + robust, 1e-20)
+    return jnp.sum(jnp.where(valid, jnp.log(qq), 0.0)) / n
+
+
+def hamming_class_weights(gt: np.ndarray, num_classes: int, class_weight_pow: float) -> np.ndarray:
+    """objective.cpp:51-64: w_c ∝ freq_c^-pow, normalized by sum cnt*w = 1."""
+    cnt = np.bincount(gt[gt >= 0], minlength=num_classes).astype(np.float64)
+    w = cnt / cnt.sum()
+    with np.errstate(divide="ignore"):
+        w = np.where(w > 0, w ** (-class_weight_pow), 0.0)
+    return (w / (cnt * w).sum()).astype(np.float32)
+
+
+def hamming(q: jnp.ndarray, gt: jnp.ndarray, class_weights: jnp.ndarray) -> jnp.ndarray:
+    """objective.cpp:66-80: sum of w[gt] * Q[gt]."""
+    n, c = q.shape
+    valid = (gt >= 0) & (gt < c)
+    safe_gt = jnp.clip(gt, 0, c - 1)
+    qq = jnp.take_along_axis(q, safe_gt[:, None], axis=1)[:, 0]
+    return jnp.sum(jnp.where(valid, jnp.take(class_weights, safe_gt) * qq, 0.0))
+
+
+def intersection_over_union(q: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """objective.cpp:81-109: mean over classes of soft I/U over marginals."""
+    n, c = q.shape
+    valid = (gt >= 0) & (gt < c)
+    safe_gt = jnp.clip(gt, 0, c - 1)
+    onehot = jax.nn.one_hot(safe_gt, c) * valid[:, None]
+    intersection = jnp.sum(onehot * q, axis=0)  # [C]
+    # Union: gt count of the class + sum of Q over other-class points.
+    union = (
+        1e-20
+        + jnp.sum(onehot, axis=0)
+        + jnp.sum(q * valid[:, None] * (1.0 - onehot), axis=0)
+    )
+    return jnp.sum(intersection / union) / c
+
+
+# ----------------------------------------------------------------------
+# Unary energies (unary.cpp:27-68)
+# ----------------------------------------------------------------------
+
+
+class ConstUnaryEnergy:
+    def __init__(self, unary: np.ndarray):  # [N, C]
+        self.unary = jnp.asarray(unary, jnp.float32)
+
+    def get(self, params=None) -> jnp.ndarray:
+        return self.unary
+
+    def init_params(self):
+        return None
+
+
+class LogisticUnaryEnergy:
+    """U = L @ f with trainable L (unary.cpp:45-68), layout [N, C] here."""
+
+    def __init__(self, l_matrix: np.ndarray, f: np.ndarray):
+        # Reference: L [C, F], f [F, N]; ours: features [N, F].
+        self.features = jnp.asarray(f, jnp.float32)
+        self._l0 = jnp.asarray(l_matrix, jnp.float32)
+
+    def get(self, params: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        l = self._l0 if params is None else params
+        return self.features @ l.T  # [N, C]
+
+    def init_params(self) -> jnp.ndarray:
+        return self._l0
+
+
+# ----------------------------------------------------------------------
+# Differentiable mean-field + learner
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class LearnablePotts:
+    """One lattice-filtered Potts potential with a trainable weight."""
+
+    lattice: PermutohedralLattice
+    offsets: jnp.ndarray
+    barycentric: jnp.ndarray
+    blur_n1: jnp.ndarray
+    blur_n2: jnp.ndarray
+    norm: jnp.ndarray
+
+    @classmethod
+    def build(cls, features: np.ndarray) -> "LearnablePotts":
+        lattice = build_lattice(features)
+        offsets = jnp.asarray(lattice.offsets)
+        bary = jnp.asarray(lattice.barycentric)
+        n1 = jnp.asarray(lattice.blur_n1)
+        n2 = jnp.asarray(lattice.blur_n2)
+        ones = jnp.ones((features.shape[0], 1), jnp.float32)
+        raw = lattice_filter(ones, offsets, bary, n1, n2, lattice.num_vertices)[:, 0]
+        norm = 1.0 / jnp.sqrt(raw + 1e-20)
+        return cls(lattice, offsets, bary, n1, n2, norm)
+
+    def filter(self, q: jnp.ndarray) -> jnp.ndarray:
+        return (
+            lattice_filter(
+                q * self.norm[:, None],
+                self.offsets,
+                self.barycentric,
+                self.blur_n1,
+                self.blur_n2,
+                self.lattice.num_vertices,
+            )
+            * self.norm[:, None]
+        )
+
+
+def mean_field_marginals(
+    unary: jnp.ndarray,  # [N, C] energy
+    potentials: Sequence[LearnablePotts],
+    weights: Sequence[jnp.ndarray],  # Potts weight per potential
+    n_iterations: int,
+) -> jnp.ndarray:
+    """Unrolled, differentiable mean-field (densecrf.cpp:115-131)."""
+    q = exp_and_normalize(-unary)
+    for _ in range(n_iterations):
+        t = -unary
+        for pot, w in zip(potentials, weights):
+            t = t + w * pot.filter(q)  # Potts: compat = -w * filtered
+        q = exp_and_normalize(t)
+    return q
+
+
+class CrfLearner:
+    """Fit Potts weights (and optionally a logistic unary) to ground truth.
+
+    Replaces the reference's hand-rolled gradient machinery + liblbfgs
+    (densecrf.cpp:238-360, optimization.cpp:27-135) with jax.grad through the
+    unrolled mean-field and an L-BFGS driver.
+    """
+
+    def __init__(
+        self,
+        unary_energy,
+        potentials: Sequence[LearnablePotts],
+        gt: np.ndarray,
+        n_iterations: int = 5,
+        objective: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = log_likelihood,
+    ):
+        self.unary_energy = unary_energy
+        self.potentials = list(potentials)
+        self.gt = jnp.asarray(gt.astype(np.int32))
+        self.n_iterations = n_iterations
+        self.objective = objective
+
+        def neg_objective(params):
+            unary = self.unary_energy.get(params.get("unary"))
+            q = mean_field_marginals(
+                unary, self.potentials, params["weights"], self.n_iterations
+            )
+            return -self.objective(q, self.gt)
+
+        self._value_and_grad = jax.jit(jax.value_and_grad(neg_objective))
+
+    def init_params(self, initial_weights: Sequence[float]) -> Dict:
+        params = {"weights": [jnp.float32(w) for w in initial_weights]}
+        unary_params = self.unary_energy.init_params()
+        if unary_params is not None:
+            params["unary"] = unary_params
+        else:
+            params["unary"] = None
+        return params
+
+    def fit(
+        self, initial_weights: Sequence[float], max_iter: int = 50
+    ) -> Tuple[Dict, float]:
+        """L-BFGS-B over flattened params; returns (params, objective)."""
+        from scipy.optimize import minimize
+
+        params0 = self.init_params(initial_weights)
+        flat0, unravel = jax.flatten_util.ravel_pytree(params0)
+
+        def fun(x):
+            v, g = self._value_and_grad(unravel(jnp.asarray(x, jnp.float32)))
+            gflat, _ = jax.flatten_util.ravel_pytree(g)
+            return float(v), np.asarray(gflat, np.float64)
+
+        res = minimize(
+            fun, np.asarray(flat0, np.float64), jac=True, method="L-BFGS-B",
+            options={"maxiter": max_iter},
+        )
+        return unravel(jnp.asarray(res.x, jnp.float32)), -float(res.fun)
+
+
+def numeric_gradient(
+    fn: Callable[[np.ndarray], float], x: np.ndarray, eps: float = 1e-3
+) -> np.ndarray:
+    """Central finite differences (optimization.cpp numeric gradient)."""
+    x = np.asarray(x, np.float64)
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        xp, xm = x.copy(), x.copy()
+        xp.flat[i] += eps
+        xm.flat[i] -= eps
+        g.flat[i] = (fn(xp) - fn(xm)) / (2 * eps)
+    return g

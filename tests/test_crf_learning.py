@@ -1,0 +1,178 @@
+"""CRF learning tests: objective formulas, gradient checks, L-BFGS fitting."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from rovinasemanticsegmentation_tpu.models.crf_learning import (
+    ConstUnaryEnergy,
+    CrfLearner,
+    LearnablePotts,
+    LogisticUnaryEnergy,
+    hamming,
+    hamming_class_weights,
+    intersection_over_union,
+    log_likelihood,
+    mean_field_marginals,
+    numeric_gradient,
+)
+
+
+def oracle_log_likelihood(q, gt, robust=0.0):
+    """Literal port of objective.cpp:37-50 (column-major Q there)."""
+    n, c = q.shape
+    r = 0.0
+    for i in range(n):
+        if 0 <= gt[i] < c:
+            r += np.log(max(q[i, gt[i]] + robust, 1e-20)) / n
+    return r
+
+
+def oracle_iou(q, gt):
+    """Literal port of objective.cpp:81-109."""
+    n, c = q.shape
+    inter = np.zeros(c)
+    union = np.full(c, 1e-20)
+    for i in range(n):
+        if 0 <= gt[i] < c:
+            inter[gt[i]] += q[i, gt[i]]
+            union[gt[i]] += 1
+            for l in range(c):
+                if l != gt[i]:
+                    union[l] += q[i, l]
+    return (inter / union).sum() / c
+
+
+class TestObjectives:
+    def setup_method(self):
+        rng = np.random.default_rng(0)
+        self.q = rng.dirichlet(np.ones(4), size=50).astype(np.float32)
+        self.gt = rng.integers(-1, 4, 50).astype(np.int32)
+
+    def test_log_likelihood_matches_oracle(self):
+        got = float(log_likelihood(jnp.asarray(self.q), jnp.asarray(self.gt)))
+        assert got == pytest.approx(oracle_log_likelihood(self.q, self.gt), rel=1e-5)
+        got_r = float(
+            log_likelihood(jnp.asarray(self.q), jnp.asarray(self.gt), robust=0.1)
+        )
+        assert got_r == pytest.approx(
+            oracle_log_likelihood(self.q, self.gt, 0.1), rel=1e-5
+        )
+
+    def test_hamming_weights_and_value(self):
+        w = hamming_class_weights(self.gt, 4, class_weight_pow=1.0)
+        # Normalization: sum over classes of cnt*w == 1 (objective.cpp:62).
+        cnt = np.bincount(self.gt[self.gt >= 0], minlength=4)
+        assert (cnt * w).sum() == pytest.approx(1.0, rel=1e-5)
+        got = float(hamming(jnp.asarray(self.q), jnp.asarray(self.gt), jnp.asarray(w)))
+        want = sum(
+            w[g] * self.q[i, g] for i, g in enumerate(self.gt) if g >= 0
+        )
+        assert got == pytest.approx(float(want), rel=1e-5)
+
+    def test_iou_matches_oracle(self):
+        got = float(
+            intersection_over_union(jnp.asarray(self.q), jnp.asarray(self.gt))
+        )
+        assert got == pytest.approx(oracle_iou(self.q, self.gt), rel=1e-4)
+
+
+class TestGradients:
+    def test_autodiff_matches_numeric(self):
+        """The reference's gradient-check methodology (test_pairwise.cpp)."""
+        rng = np.random.default_rng(1)
+        n, c = 40, 3
+        unary = rng.normal(size=(n, c)).astype(np.float32)
+        feats = rng.normal(size=(n, 2)).astype(np.float32)
+        gt = rng.integers(0, c, n).astype(np.int32)
+        pot = LearnablePotts.build(feats)
+
+        def objective(weights):
+            q = mean_field_marginals(
+                jnp.asarray(unary), [pot], [jnp.float32(weights[0])], 3
+            )
+            return float(log_likelihood(q, jnp.asarray(gt)))
+
+        w0 = np.array([1.2])
+        num = numeric_gradient(objective, w0, eps=1e-2)
+
+        def jax_obj(w):
+            q = mean_field_marginals(jnp.asarray(unary), [pot], [w], 3)
+            return log_likelihood(q, jnp.asarray(gt))
+
+        ana = float(jax.grad(jax_obj)(jnp.float32(w0[0])))
+        assert ana == pytest.approx(num[0], rel=2e-2, abs=1e-4)
+
+
+class TestLearner:
+    def test_fit_improves_objective(self):
+        rng = np.random.default_rng(2)
+        n, c = 100, 3
+        # Two spatial clusters with noisy unaries; the right Potts weight
+        # should denoise towards gt.
+        feats = np.zeros((n, 2), np.float32)
+        feats[n // 2:, 0] = 30.0
+        gt = np.zeros(n, np.int32)
+        gt[n // 2:] = 1
+        unary = rng.normal(0, 1.0, size=(n, c)).astype(np.float32)
+        unary[np.arange(n), gt] -= 1.0  # weak correct signal
+
+        pot = LearnablePotts.build(feats)
+        learner = CrfLearner(
+            ConstUnaryEnergy(unary), [pot], gt, n_iterations=5
+        )
+        params0 = learner.init_params([0.1])
+        v0, _ = learner._value_and_grad(params0)
+        params, best = learner.fit([0.1], max_iter=20)
+        assert best >= -float(v0)  # objective improved (we minimize -obj)
+
+    def test_logistic_unary_learning(self):
+        rng = np.random.default_rng(3)
+        n, c, f = 80, 3, 5
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        true_l = rng.normal(size=(c, f)).astype(np.float32) * 2
+        gt = np.argmax(x @ true_l.T, axis=1).astype(np.int32)
+        feats = rng.normal(size=(n, 2)).astype(np.float32)
+
+        unary = LogisticUnaryEnergy(np.zeros((c, f), np.float32), x)
+        pot = LearnablePotts.build(feats)
+        learner = CrfLearner(unary, [pot], gt, n_iterations=3)
+        params, best = learner.fit([0.0], max_iter=60)
+        q = mean_field_marginals(
+            unary.get(params["unary"]), [pot], params["weights"], 3
+        )
+        acc = (np.asarray(q).argmax(1) == gt).mean()
+        # The logistic unary must recover a mostly-correct labeling. The
+        # unary energy is L@x and *lower* is better, so -true_l works.
+        assert acc > 0.85
+
+
+class TestDenseInferenceDemo:
+    REF = "/root/reference/third-party/densecrf/examples"
+
+    @pytest.mark.skipif(
+        not os.path.exists(REF + "/im1.ppm"), reason="reference PPMs absent"
+    )
+    def test_demo_on_reference_images(self, tmp_path):
+        from rovinasemanticsegmentation_tpu.cli.dense_inference import (
+            run,
+            unary_from_annotation,
+        )
+        from rovinasemanticsegmentation_tpu.utils.imageio import load_ppm
+
+        out = str(tmp_path / "out.ppm")
+        labels = run(self.REF + "/im1.ppm", self.REF + "/anno1.ppm", out)
+        anno = load_ppm(self.REF + "/anno1.ppm")
+        _, anno_labels = unary_from_annotation(anno)
+        anno_labels = anno_labels.reshape(labels.shape)
+        known = anno_labels >= 0
+        # CRF smoothing keeps the vast majority of confidently-annotated
+        # pixels and fills the unknown ones with something valid.
+        agree = (labels[known] == anno_labels[known]).mean()
+        assert agree > 0.9
+        assert labels.min() >= 0 and labels.max() < 21
+        assert os.path.exists(out)
