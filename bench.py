@@ -52,10 +52,19 @@ def main() -> None:
     res = pipeline.run(rgb, depth, calib)
     jax.block_until_ready(res.labels)
 
-    n_iters = 30
+    # Vary the frame content each iteration: the TPU runtime memoizes
+    # executions with identical inputs, which would fake the throughput.
+    n_iters = 20
+    frames = [
+        (
+            np.bitwise_xor(rgb, np.uint8(i + 1)),
+            np.bitwise_xor(depth, np.uint16(i + 1)),
+        )
+        for i in range(n_iters)
+    ]
     start = time.perf_counter()
-    for _ in range(n_iters):
-        res = pipeline.run(rgb, depth, calib)
+    for f_rgb, f_depth in frames:
+        res = pipeline.run(f_rgb, f_depth, calib)
     jax.block_until_ready(res.labels)
     elapsed = time.perf_counter() - start
     kf_per_sec = n_iters / elapsed

@@ -389,7 +389,12 @@ class ForestTrainer:
         class_counts: Optional[Sequence[int]] = None,
         multi_label: Optional[bool] = None,
         progress: bool = True,
+        checkpoint_path: Optional[str] = None,
     ) -> Forest:
+        """Train the forest; with ``checkpoint_path``, save after each tree
+        and resume from a partial checkpoint (capability the reference
+        lacks — its only artifact is the final forest.dat,
+        learning.cpp:1031-1113)."""
         features = np.ascontiguousarray(features, dtype=np.float32)
         labels = np.ascontiguousarray(labels)
         if labels.ndim == 1:
@@ -403,12 +408,31 @@ class ForestTrainer:
         c_max = max(class_counts)
         cfg = self.config
         n_bootstrap = cfg.num_bootstrap_examples or n
-        rng = np.random.default_rng(cfg.seed)
+
+        # Resume from a per-tree checkpoint when present.
+        start_tree = 0
+        trees: List[TreeArrays] = []
+        if checkpoint_path is not None:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                from ..utils.checkpoint import TrainingCheckpoint
+
+                ckpt, partial = TrainingCheckpoint.load(checkpoint_path)
+                if partial is not None and ckpt.completed_trees > 0:
+                    start_tree = min(ckpt.completed_trees, cfg.num_trees)
+                    trees = [partial.tree_view(t) for t in range(start_tree)]
+                    if progress:
+                        log.info(
+                            "Resuming training at tree %d/%d",
+                            start_tree + 1, cfg.num_trees,
+                        )
 
         x_full = jnp.asarray(features)
-        trees: List[TreeArrays] = []
-        for t in range(cfg.num_trees):
+        for t in range(start_tree, cfg.num_trees):
             start = time.perf_counter()
+            # Deterministic per-tree stream: resume-safe and shardable.
+            rng = np.random.default_rng((cfg.seed, t))
             if cfg.use_bootstrap:
                 idx = rng.integers(0, n, size=n_bootstrap)
                 xb = jnp.take(x_full, jnp.asarray(idx), axis=0)
@@ -461,5 +485,16 @@ class ForestTrainer:
                     t + 1, cfg.num_trees, nn, max_depth,
                     time.perf_counter() - start,
                 )
+            if checkpoint_path is not None:
+                from ..utils.checkpoint import TrainingCheckpoint
+
+                partial_forest = build_forest(
+                    trees, class_counts, multi_label=multi_label
+                )
+                TrainingCheckpoint(
+                    completed_trees=t + 1,
+                    seed=cfg.seed,
+                    config=dict(cfg.__dict__),
+                ).save(checkpoint_path, partial_forest)
 
         return build_forest(trees, class_counts, multi_label=multi_label)
