@@ -1,14 +1,16 @@
-"""Benchmark: RGB-D keyframes/sec/chip through the end-to-end pipeline.
+"""Benchmark: RGB-D keyframes/sec/chip through the END-TO-END pipeline.
 
-Measures the reference's headline cost path — per-keyframe feature extraction
-+ random-forest posterior prediction (the "Time per image" instrument,
-``/root/reference/src/test_multi.cpp:238``) plus, when available, the
-dense-CRF mean-field contribution per keyframe — on whatever accelerator JAX
-exposes (the driver runs this on one real TPU chip).
+Covers the full reference cost path (BASELINE.md): per-keyframe feature
+extraction + random-forest posteriors (the "Time per image" instrument,
+``/root/reference/src/test_multi.cpp:238``) PLUS the per-local-map fusion and
+dense-CRF smoothing (``src/segmenter.cpp:518-719``), amortized over the
+keyframes that feed each map (one map per MAP_EVERY keyframes).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is relative to the 100 kf/s/chip north star in BASELINE.md
-(the reference repo publishes no numbers).
+``vs_baseline`` is relative to the 100 kf/s/chip north star (the reference
+publishes no numbers).
+
+Inputs vary per iteration: the TPU runtime memoizes identical executions.
 """
 
 import json
@@ -16,13 +18,23 @@ import time
 
 import numpy as np
 
+MAP_EVERY = 5  # keyframes per local map
+MAP_POINTS = 30000
+N_KEYFRAMES = 10
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from rovinasemanticsegmentation_tpu.models.forest import random_forest
     from rovinasemanticsegmentation_tpu.features.extractor import FeatureConfig
+    from rovinasemanticsegmentation_tpu.fusion.projector import MultiProjector
+    from rovinasemanticsegmentation_tpu.models.forest import random_forest
+    from rovinasemanticsegmentation_tpu.pipelines.local_map import (
+        CrfParams,
+        LocalMapPipeline,
+        MapNodeFrames,
+    )
     from rovinasemanticsegmentation_tpu.pipelines.single_frame import (
         SingleFramePipeline,
     )
@@ -30,16 +42,14 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     h, w = 480, 640  # Xtion VGA keyframes
-    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    depth = rng.integers(600, 14000, (h, w)).astype(np.uint16)
     calib = Calibration(
         intrinsic=np.array([[525.0, 0, 320], [0, 525.0, 240], [0, 0, 1]]),
         rotation=np.eye(3),
         translation=np.zeros(3),
     )
     # Reference cost drivers: 4 trees, depth <= 30, 366-dim features,
-    # stride-2 prediction grid (resources/config.json:37-39,87). Trained
-    # trees at minSplit=50 land around tens of thousands of nodes.
+    # stride-2 grid (resources/config.json:37-39,87); trained trees at
+    # minSplit=50 land around tens of thousands of nodes.
     forest = random_forest(
         rng, num_trees=4, depth=30, num_features=366,
         class_counts=[8, 9], max_nodes=40001,
@@ -47,32 +57,63 @@ def main() -> None:
     pipeline = SingleFramePipeline(
         FeatureConfig(), forest, stride=2, fill_value=0.0
     )
+    projector = MultiProjector.from_calibrations(
+        [calib], h, w, min_distance=0.5, max_distance=15.0
+    )
+    map_pipeline = LocalMapPipeline(
+        projector,
+        class_counts=[8, 9],
+        unknown_labels=[7, 8],
+        crf=CrfParams(use_dense_crf=True, iterations=10),
+    )
 
-    # Warmup/compile.
-    res = pipeline.run(rgb, depth, calib)
-    jax.block_until_ready(res.labels)
-
-    # Vary the frame content each iteration: the TPU runtime memoizes
-    # executions with identical inputs, which would fake the throughput.
-    n_iters = 20
     frames = [
         (
-            np.bitwise_xor(rgb, np.uint8(i + 1)),
-            np.bitwise_xor(depth, np.uint16(i + 1)),
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+            rng.integers(600, 14000, (h, w)).astype(np.uint16),
         )
-        for i in range(n_iters)
+        for _ in range(N_KEYFRAMES)
     ]
+    cloud_pts = np.stack(
+        [
+            rng.uniform(-4, 4, MAP_POINTS),
+            rng.uniform(-3, 3, MAP_POINTS),
+            rng.uniform(1, 10, MAP_POINTS),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    cloud_rgb = rng.uniform(0, 1, (MAP_POINTS, 3)).astype(np.float32)
+
+    # Warmup/compile both paths. Posteriors stay on device end to end —
+    # they are consumed by the on-device unary accumulation; pulling them to
+    # the host would add ~20MB of transfers per keyframe for nothing.
+    res = pipeline.run(frames[0][0], frames[0][1], calib)
+    node = MapNodeFrames(pose=np.eye(4), posteriors=[list(res.posteriors)])
+    map_pipeline.run(cloud_pts, cloud_rgb, [node])
+
     start = time.perf_counter()
-    for f_rgb, f_depth in frames:
+    posterior_buffer = []
+    maps_done = 0
+    for i, (f_rgb, f_depth) in enumerate(frames):
         res = pipeline.run(f_rgb, f_depth, calib)
-    jax.block_until_ready(res.labels)
+        posterior_buffer.append(list(res.posteriors))
+        if len(posterior_buffer) == MAP_EVERY:
+            nodes = [
+                MapNodeFrames(pose=np.eye(4), posteriors=[p])
+                for p in posterior_buffer
+            ]
+            labels = map_pipeline.run(
+                cloud_pts + maps_done * 0.001, cloud_rgb, nodes
+            )
+            maps_done += 1
+            posterior_buffer = []
     elapsed = time.perf_counter() - start
-    kf_per_sec = n_iters / elapsed
+    kf_per_sec = N_KEYFRAMES / elapsed
 
     print(
         json.dumps(
             {
-                "metric": "keyframes_per_sec_per_chip",
+                "metric": "keyframes_per_sec_per_chip_e2e",
                 "value": round(kf_per_sec, 3),
                 "unit": "keyframes/s",
                 "vs_baseline": round(kf_per_sec / 100.0, 4),

@@ -175,14 +175,14 @@ def pack_node_records(
     rec = np.stack(
         [meta, np.ascontiguousarray(threshold, np.float32).view(np.int32)],
         axis=-1,
-    ).reshape(t, 2 * n)
+    )  # [T, N, 2] — row gathers amortize better than two element gathers
     return rec, bits
 
 
 @partial(jax.jit, static_argnames=("max_depth", "feat_bits"))
 def _find_leaves_packed(
     features: jnp.ndarray,  # [P, D] f32
-    records: jnp.ndarray,  # [T, 2N] i32 packed node records
+    records: jnp.ndarray,  # [T, N, 2] i32 packed node records
     max_depth: int,
     feat_bits: int,
 ) -> jnp.ndarray:  # [P, T] i32 leaf node ids
@@ -199,11 +199,11 @@ def _find_leaves_packed(
 
     def step(state):
         level, node, _ = state
-        i0 = node.T * 2  # [T, P]
-        meta = jnp.take_along_axis(records, i0, axis=1).T
-        thr = jax.lax.bitcast_convert_type(
-            jnp.take_along_axis(records, i0 + 1, axis=1).T, jnp.float32
-        )
+        rows = jax.vmap(lambda r, idx: jnp.take(r, idx, axis=0), in_axes=(0, 1))(
+            records, node
+        )  # [T, P, 2]
+        meta = rows[..., 0].T
+        thr = jax.lax.bitcast_convert_type(rows[..., 1].T, jnp.float32)
         f = meta & mask
         lc = meta >> feat_bits
         x = jnp.take_along_axis(features, f, axis=1)  # [P, T]

@@ -1,0 +1,284 @@
+"""Pallas TPU kernel for random-forest descent.
+
+XLA lowers random gathers at ~12-16ns/element, which makes tree traversal
+(2 gathers x 31 levels x P points x T trees) the pipeline bottleneck. This
+kernel reaches the VPU's vectorized ``dynamic_gather`` (Mosaic's
+same-shape ``take_along_axis(axis=1)`` over 128 lanes) by re-laying the
+trees out level-major:
+
+- nodes are renumbered breadth-first, so the nodes of depth ``l`` occupy one
+  contiguous, 128-padded span of the arrays (``level_offsets``/
+  ``level_chunks``);
+- a point's node id at level ``l`` is local to that span; the node record
+  (packed meta + threshold) is fetched by sweeping the span's 128-wide
+  chunks with lane-gathers and masked selects — the sweep over all levels
+  touches each tree chunk once (sum of level widths = node count), so the
+  whole descent costs O(N/128) vector ops per point tile instead of O(P)
+  scalar gathers;
+- the per-point feature lookup ``x[p, f]`` is three lane-gathers over the
+  point tile's 128-wide feature chunks.
+
+The tree data (meta [T, Np], thresholds [T, Np], both level-major) lives in
+VMEM for the whole grid; feature tiles stream per program. Output leaf ids
+are in the level-major numbering — callers gather histograms reordered the
+same way (``LevelMajorForest``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.forest import Forest, _feature_bits
+
+LANES = 128
+
+
+@dataclass
+class LevelMajorForest:
+    """Trees renumbered breadth-first with 128-padded levels."""
+
+    meta: np.ndarray  # [T, Np] i32: feat | (left_child_new << feat_bits); 0 left = leaf
+    thresholds: np.ndarray  # [T, Np] f32
+    leaf_hist: np.ndarray  # [T, Np, L, C] reordered to match
+    level_offsets: np.ndarray  # [T, max_levels] i32, in 128-chunk units
+    level_chunks: np.ndarray  # [T, max_levels] i32 number of 128-chunks
+    num_levels: int
+    feat_bits: int
+    class_counts: Tuple[int, ...]
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.meta.shape[1]
+
+
+def build_level_major(forest: Forest) -> LevelMajorForest:
+    """Reorder a Forest's trees level-major with 128-aligned levels."""
+    t_count = forest.num_trees
+    feat_bits = _feature_bits(int(forest.split_feature.max()) + 2)
+    num_layers = forest.num_layers
+    c_max = forest.leaf_hist.shape[3]
+
+    per_tree = []
+    max_levels = 1
+    max_padded = LANES
+    for t in range(t_count):
+        view = forest.tree_view(t)
+        n = len(view.split_feature)
+        depth = np.zeros(n, np.int32)
+        for node in range(n):
+            l = view.left_child[node]
+            if l != 0:
+                depth[l] = depth[node] + 1
+                depth[l + 1] = depth[node] + 1
+        levels = int(depth.max()) + 1
+        # Stable order by depth keeps sibling pairs adjacent (children are
+        # created together so left/right stay consecutive).
+        order = np.argsort(depth, kind="stable")  # old ids in new order
+        widths = np.bincount(depth, minlength=levels)
+        chunks = -(-widths // LANES)
+        offsets_c = np.zeros(levels, np.int64)  # in chunk units
+        np.cumsum(chunks[:-1], out=offsets_c[1:])
+        offsets = offsets_c * LANES
+        padded_total = int((chunks * LANES).sum())
+
+        # Position within padded numbering: offset of level + rank in level.
+        rank_in_level = np.empty(n, np.int64)
+        start = 0
+        for l in range(levels):
+            cnt = widths[l]
+            rank_in_level[order[start : start + cnt]] = np.arange(cnt)
+            start += cnt
+        padded_new = offsets[depth] + rank_in_level  # per old id
+
+        meta = np.zeros(padded_total, np.int32)
+        thr = np.zeros(padded_total, np.float32)
+        hist = np.zeros((padded_total, num_layers, c_max), np.float32)
+        left_new = np.zeros(n, np.int64)
+        has_child = view.left_child != 0
+        left_new[has_child] = padded_new[view.left_child[has_child]]
+        meta[padded_new] = view.split_feature.astype(np.int32) | (
+            left_new.astype(np.int32) << feat_bits
+        )
+        thr[padded_new] = view.threshold
+        hist[padded_new] = view.leaf_hist
+        per_tree.append((meta, thr, hist, offsets, chunks, levels))
+        max_levels = max(max_levels, levels)
+        max_padded = max(max_padded, padded_total)
+
+    meta_all = np.zeros((t_count, max_padded), np.int32)
+    thr_all = np.zeros((t_count, max_padded), np.float32)
+    hist_all = np.zeros((t_count, max_padded, num_layers, c_max), np.float32)
+    off_all = np.zeros((t_count, max_levels), np.int32)
+    chunks_all = np.zeros((t_count, max_levels), np.int32)
+    for t, (meta, thr, hist, offsets, chunks, levels) in enumerate(per_tree):
+        meta_all[t, : len(meta)] = meta
+        thr_all[t, : len(thr)] = thr
+        hist_all[t, : len(hist)] = hist
+        off_all[t, :levels] = offsets // LANES
+        chunks_all[t, :levels] = chunks
+    return LevelMajorForest(
+        meta=meta_all,
+        thresholds=thr_all,
+        leaf_hist=hist_all,
+        level_offsets=off_all,
+        level_chunks=chunks_all,
+        num_levels=max_levels,
+        feat_bits=feat_bits,
+        class_counts=tuple(forest.class_counts),
+    )
+
+
+def _descent_kernel(
+    off_ref,  # SMEM [T, LV] level offsets (in 128-chunk units)
+    nch_ref,  # SMEM [T, LV] level chunk counts
+    feats_ref,  # VMEM [TILE, FC * 128] feature tile
+    meta_ref,  # VMEM [T, Np // 128, 128]
+    thr_ref,  # VMEM [T, Np // 128, 128]
+    out_ref,  # VMEM [TILE, T_pad] leaf ids
+    *,
+    num_trees: int,
+    num_levels: int,
+    feat_bits: int,
+    feat_chunks: int,
+    tile: int,
+):
+    fmask = (1 << feat_bits) - 1
+
+    for t in range(num_trees):
+        node = jnp.zeros((tile, LANES), jnp.int32)  # replicated across lanes
+
+        def level_body(l, node):
+            off_c = off_ref[t, l]  # chunk units
+            n_chunks = nch_ref[t, l]
+            local = node - off_c * LANES
+
+            def chunk_body(c, carry):
+                meta_acc, thr_acc = carry
+                base = c * LANES
+                in_chunk = (local >= base) & (local < base + LANES)
+                r = jnp.clip(local - base, 0, LANES - 1)
+                chunk_m = meta_ref[t, off_c + c, :]  # [128]
+                chunk_t = thr_ref[t, off_c + c, :]
+                m_b = jnp.broadcast_to(chunk_m[None, :], (tile, LANES))
+                t_b = jnp.broadcast_to(chunk_t[None, :], (tile, LANES))
+                g_m = jnp.take_along_axis(m_b, r, axis=1)
+                g_t = jnp.take_along_axis(t_b, r, axis=1)
+                meta_acc = jnp.where(in_chunk, g_m, meta_acc)
+                thr_acc = jnp.where(in_chunk, g_t, thr_acc)
+                return meta_acc, thr_acc
+
+            meta0 = jnp.zeros((tile, LANES), jnp.int32)
+            thr0 = jnp.zeros((tile, LANES), jnp.float32)
+            meta, thr = jax.lax.fori_loop(
+                0, n_chunks, chunk_body, (meta0, thr0)
+            )
+
+            f = meta & fmask
+            lc = meta >> feat_bits
+
+            # x[p, f]: lane-gather over the point tile's feature chunks.
+            f_chunk = f // LANES
+            f_lane = f - f_chunk * LANES
+            x = jnp.zeros((tile, LANES), jnp.float32)
+            for fc in range(feat_chunks):
+                chunk = feats_ref[:, pl.ds(fc * LANES, LANES)]
+                xc = jnp.take_along_axis(chunk, f_lane, axis=1)
+                x = jnp.where(f_chunk == fc, xc, x)
+
+            nxt = lc + (x >= thr).astype(jnp.int32)
+            return jnp.where(lc == 0, node, nxt)
+
+        node = jax.lax.fori_loop(0, num_levels, level_body, node)
+        out_ref[:, pl.ds(t * LANES, LANES)] = node
+
+
+@partial(jax.jit, static_argnames=("num_levels", "feat_bits", "tile", "interpret"))
+def find_leaves_pallas(
+    features: jnp.ndarray,  # [P, D] f32 (P % tile == 0 after padding)
+    meta: jnp.ndarray,  # [T, Np] i32
+    thresholds: jnp.ndarray,  # [T, Np] f32
+    level_offsets: jnp.ndarray,  # [T, LV] i32
+    level_chunks: jnp.ndarray,  # [T, LV] i32
+    num_levels: int,
+    feat_bits: int,
+    tile: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [P, T] leaf ids (level-major numbering)
+    p, d = features.shape
+    t_count = meta.shape[0]
+    feat_chunks = -(-d // LANES)
+    d_pad = feat_chunks * LANES
+    p_pad = -(-p // tile) * tile
+    feats = jnp.pad(features, ((0, p_pad - p), (0, d_pad - d)))
+    # Chunk-major tree tables: statically 128-aligned row loads in Mosaic.
+    np_nodes = meta.shape[1]
+    meta = meta.reshape(t_count, np_nodes // LANES, LANES)
+    thresholds = thresholds.reshape(t_count, np_nodes // LANES, LANES)
+
+    out = pl.pallas_call(
+        partial(
+            _descent_kernel,
+            num_trees=t_count,
+            num_levels=num_levels,
+            feat_bits=feat_bits,
+            feat_chunks=feat_chunks,
+            tile=tile,
+        ),
+        grid=(p_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, t_count * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((p_pad, t_count * LANES), jnp.int32),
+        interpret=interpret,
+    )(level_offsets, level_chunks, feats, meta, thresholds)
+
+    # Column 0 of each tree's lane-replicated block.
+    leaves = out[:p, :: LANES][:, :t_count]
+    return leaves
+
+
+class PallasForestPredictor:
+    """Drop-in forest predictor running descent through the Pallas kernel."""
+
+    def __init__(self, forest: Forest, interpret: bool = False):
+        self.interpret = interpret
+        self.lm = build_level_major(forest)
+        self.meta = jnp.asarray(self.lm.meta)
+        self.thresholds = jnp.asarray(self.lm.thresholds)
+        self.leaf_hist = jnp.asarray(self.lm.leaf_hist)
+        self.level_offsets = jnp.asarray(self.lm.level_offsets)
+        self.level_chunks = jnp.asarray(self.lm.level_chunks)
+        self.class_counts = self.lm.class_counts
+
+    def leaves(self, features: jnp.ndarray) -> jnp.ndarray:
+        return find_leaves_pallas(
+            features,
+            self.meta,
+            self.thresholds,
+            self.level_offsets,
+            self.level_chunks,
+            num_levels=self.lm.num_levels,
+            feat_bits=self.lm.feat_bits,
+            interpret=self.interpret,
+        )
+
+    def log_posterior(self, features: jnp.ndarray) -> jnp.ndarray:
+        from ..models.forest import _sum_leaf_histograms
+
+        leaves = self.leaves(features)
+        return _sum_leaf_histograms(self.leaf_hist, leaves)

@@ -112,3 +112,41 @@ def rgb_to_segment_id(rgb: np.ndarray) -> np.ndarray:
         bit = (rgb[..., i % 3].astype(np.int32) >> (7 - i // 3)) & 1
         out |= bit << i
     return out
+
+
+# ----------------------------------------------------------------------
+# Debug visualization helpers. The reference pops interactive windows
+# (ShowCvMat/ShowCvMatHeatMap, cv_util.cpp:77-81,145-154); headless TPU hosts
+# write files instead.
+# ----------------------------------------------------------------------
+
+
+def _jet_colormap(values: np.ndarray) -> np.ndarray:
+    """[0,1] floats -> uint8 RGB, OpenCV COLORMAP_JET-style."""
+    v = np.clip(np.asarray(values, np.float64), 0.0, 1.0)
+    four = 4.0 * v
+    r = np.clip(np.minimum(four - 1.5, -four + 4.5), 0, 1)
+    g = np.clip(np.minimum(four - 0.5, -four + 3.5), 0, 1)
+    b = np.clip(np.minimum(four + 0.5, -four + 2.5), 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def save_heatmap(filename: str, data: np.ndarray) -> None:
+    """Min-max normalized jet heatmap PNG (ShowCvMatHeatMap equivalent)."""
+    from .imageio import save_color
+
+    data = np.asarray(data, np.float64)
+    lo, hi = float(np.nanmin(data)), float(np.nanmax(data))
+    scale = (data - lo) / (hi - lo) if hi > lo else np.zeros_like(data)
+    save_color(filename, _jet_colormap(np.nan_to_num(scale)))
+
+
+def save_gray(filename: str, data: np.ndarray) -> None:
+    """Min-max normalized grayscale PNG (ShowCvMat equivalent for floats)."""
+    from .imageio import save_color
+
+    data = np.asarray(data, np.float64)
+    lo, hi = float(np.nanmin(data)), float(np.nanmax(data))
+    scale = (data - lo) / (hi - lo) if hi > lo else np.zeros_like(data)
+    g = (np.nan_to_num(scale) * 255).astype(np.uint8)
+    save_color(filename, np.stack([g, g, g], axis=-1))

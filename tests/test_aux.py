@@ -186,3 +186,23 @@ class TestNodeCli:
             np.ones((8, 8, 3), np.float32),
         )
         assert out[0].shape == (8, 8, 3)
+
+
+class TestMcmc:
+    def test_finds_minimum(self):
+        from rovinasemanticsegmentation_tpu.utils.mcmc import (
+            GeometricCooling,
+            simulated_annealing,
+        )
+
+        # Minimize (x - 3)^2 over noisy proposals.
+        best, e = simulated_annealing(
+            initial_state=10.0,
+            energy=lambda x: (x - 3.0) ** 2,
+            propose=lambda x, rng: x + rng.normal(0, 0.5),
+            num_steps=2000,
+            cooling=GeometricCooling(start=2.0, alpha=0.995),
+            seed=1,
+        )
+        assert abs(best - 3.0) < 0.3
+        assert e < 0.1

@@ -1,0 +1,90 @@
+"""Pallas forest-descent kernel: level-major reorder + interpret-mode parity."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from rovinasemanticsegmentation_tpu.models.forest import (
+    ForestPredictor,
+    TreeArrays,
+    build_forest,
+    random_forest,
+)
+from rovinasemanticsegmentation_tpu.ops.forest_pallas import (
+    LANES,
+    PallasForestPredictor,
+    build_level_major,
+)
+
+
+class TestLevelMajor:
+    def test_reorder_preserves_semantics(self):
+        rng = np.random.default_rng(0)
+        forest = random_forest(rng, 3, 7, 20, [4, 5], max_nodes=127)
+        lm = build_level_major(forest)
+        # Offsets are in 128-chunk units and monotonically increasing.
+        assert (np.diff(lm.level_offsets[:, : lm.num_levels], axis=1) >= 0).all()
+        assert lm.meta.shape == lm.thresholds.shape
+        # Walk the level-major tree by hand and compare with the original.
+        x = rng.normal(size=(50, 20)).astype(np.float32)
+        ref_leaves = np.asarray(ForestPredictor(forest).leaves(jnp.asarray(x)))
+        fb = lm.feat_bits
+        for t in range(forest.num_trees):
+            meta, thr = lm.meta[t], lm.thresholds[t]
+            for p in range(50):
+                node = 0
+                while (meta[node] >> fb) != 0:
+                    f = meta[node] & ((1 << fb) - 1)
+                    node = (meta[node] >> fb) + (0 if x[p, f] < thr[node] else 1)
+                # Same leaf histogram as the original numbering.
+                orig_leaf = ref_leaves[p, t]
+                np.testing.assert_allclose(
+                    lm.leaf_hist[t, node],
+                    forest.leaf_hist[t, orig_leaf],
+                    rtol=1e-6,
+                )
+
+    def test_single_node_tree(self):
+        tree = TreeArrays(
+            split_feature=np.zeros(1, np.int32),
+            threshold=np.zeros(1, np.float32),
+            left_child=np.zeros(1, np.int32),
+            leaf_hist=np.array([[[1.0, 2.0]]], np.float32),
+        )
+        forest = build_forest([tree], [2])
+        lm = build_level_major(forest)
+        assert lm.num_levels == 1
+        np.testing.assert_allclose(lm.leaf_hist[0, 0, 0], [1.0, 2.0])
+
+
+class TestPallasKernel:
+    @pytest.mark.parametrize("seed,trees,depth,nodes", [(0, 4, 8, 301), (1, 2, 12, 801)])
+    def test_interpret_parity(self, seed, trees, depth, nodes):
+        rng = np.random.default_rng(seed)
+        forest = random_forest(
+            rng, trees, depth, 150, [8, 9], max_nodes=nodes
+        )
+        x = jnp.asarray(rng.normal(size=(700, 150)).astype(np.float32))
+        ref = np.asarray(ForestPredictor(forest).log_posterior(x))
+        pal = np.asarray(
+            PallasForestPredictor(forest, interpret=True).log_posterior(x)
+        )
+        np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-6)
+
+    def test_threshold_boundary(self):
+        # Equality goes right, as in the reference (classifier.cpp:105).
+        tree = TreeArrays(
+            split_feature=np.array([0, 0, 0], np.int32),
+            threshold=np.array([1.0, 0, 0], np.float32),
+            left_child=np.array([1, 0, 0], np.int32),
+            leaf_hist=np.stack(
+                [np.zeros((1, 2)), [[1.0, 0]], [[0, 1.0]]]
+            ).astype(np.float32),
+        )
+        forest = build_forest([tree], [2])
+        pp = PallasForestPredictor(forest, interpret=True)
+        x = jnp.array([[0.999], [1.0], [1.001]])
+        post = np.asarray(pp.log_posterior(x))[:, 0]
+        np.testing.assert_allclose(post, [[1, 0], [0, 1], [0, 1]])

@@ -310,3 +310,62 @@ class TestExternalPath:
         )
         ext.drain()
         assert ext.stored_semantics_ids() == [3]
+
+
+class TestThreeCameraRig:
+    """The reference deployment: three Xtions stacked into one projector
+    image (launch/semantics.launch declares 3 color+depth topic pairs)."""
+
+    def test_three_camera_fusion(self):
+        rng = np.random.default_rng(0)
+        forest = random_forest(
+            rng, num_trees=2, depth=5, num_features=78,
+            class_counts=[3, 4], max_nodes=31,
+        )
+        topics = []
+        for cam in ("camera_front", "camera_left", "camera_right"):
+            topics += [f"/{cam}/rgb/image", f"/{cam}/depth/image"]
+        seg = Segmenter(Config(data=CONFIG), topic_names=topics, forest=forest)
+        rots = {
+            "camera_front": np.eye(3),
+            # left/right cameras rotated +-90 deg about y.
+            "camera_left": np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], float),
+            "camera_right": np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], float),
+        }
+        order = ["camera_front", "camera_left", "camera_right"]
+        calibs = [
+            Calibration(
+                intrinsic=np.array(
+                    [[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]]
+                ),
+                rotation=rots[name],
+                translation=np.zeros(3),
+            )
+            for name in order
+        ]
+        seg.initialize_projector(order, calibs, (H, W))
+        seg.stop()
+
+        for name in order:
+            rgb = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+            depth = rng.integers(600, 9000, (H, W)).astype(np.uint16)
+            seg.push_color(name, 1, rgb)
+            seg.push_depth(name, 1, depth)
+        assert seg.on_new_node(MapNode(1, np.eye(4), [1, 1, 1]))
+
+        # Points in front (+z), left (-x) and right (+x) of the rig: each
+        # visible to exactly one camera.
+        pts = np.array(
+            [[0, 0, 2.0], [-2.0, 0, 0], [2.0, 0, 0]], dtype=np.float32
+        )
+        seg.on_new_local_map(
+            LocalMapData(11, [MapNode(1, np.eye(4), [1, 1, 1])], pts,
+                         np.full((3, 3), 0.5, np.float32))
+        )
+        seg.drain()
+        assert seg.stored_semantics_ids() == [11]
+        _, labels = seg.get_local_map_segmentation(11, ["material"])
+        # Every point was observed by some camera: no all-zero unaries, so
+        # labels are valid class indices.
+        assert len(labels) == 3
+        assert all(0 <= l < 3 for l in labels)

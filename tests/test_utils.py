@@ -214,3 +214,22 @@ class TestMetrics:
         assert acc.mean_iou() == pytest.approx(100 * (0.5 + 2 / 3) / 2)
         report = acc.report(["a", "b"])
         assert "Global accuracy" in report and "Intersection over union" in report
+
+
+class TestDebugViz:
+    def test_heatmap_and_gray(self, tmp_path):
+        from rovinasemanticsegmentation_tpu.utils.cvio import save_gray, save_heatmap
+        from rovinasemanticsegmentation_tpu.utils.imageio import load_color
+
+        data = np.linspace(0, 1, 12).reshape(3, 4)
+        hp = str(tmp_path / "h.png")
+        gp = str(tmp_path / "g.png")
+        save_heatmap(hp, data)
+        save_gray(gp, data)
+        h = load_color(hp)
+        g = load_color(gp)
+        assert h.shape == (3, 4, 3) and g.shape == (3, 4, 3)
+        # Jet: low -> blue-ish, high -> red-ish.
+        assert h[0, 0, 2] > h[0, 0, 0]
+        assert h[2, 3, 0] > h[2, 3, 2]
+        assert g[0, 0, 0] == 0 and g[2, 3, 0] == 255
