@@ -214,6 +214,44 @@ def lattice_filter(
     return out
 
 
+def pad_lattice(
+    lattice: PermutohedralLattice, bucket: int = 1 << 14
+) -> PermutohedralLattice:
+    """Pad the vertex count up to a size bucket so jitted filter shapes stay
+    static across maps (each map has a different M; without bucketing every
+    local map would trigger a recompile).
+
+    Padded vertices have no splat contributions (no offsets point at them)
+    and their blur neighbors are the zero slot, so they stay exactly zero
+    through the blur passes and never affect real vertices.
+    """
+    m = lattice.num_vertices
+    m_pad = bucket
+    while m_pad < m:
+        m_pad *= 2
+    if m_pad == m:
+        return lattice
+    d1 = lattice.blur_n1.shape[0]
+    pad = m_pad - m
+
+    def pad_tbl(t: np.ndarray) -> np.ndarray:
+        # Remap "missing" (== m) to the new zero slot (== m_pad); padded
+        # vertices' neighbors are the zero slot.
+        t = np.where(t == m, m_pad, t)
+        return np.concatenate(
+            [t, np.full((d1, pad), m_pad, t.dtype)], axis=1
+        )
+
+    return PermutohedralLattice(
+        offsets=lattice.offsets,
+        barycentric=lattice.barycentric,
+        blur_n1=pad_tbl(lattice.blur_n1),
+        blur_n2=pad_tbl(lattice.blur_n2),
+        num_vertices=m_pad,
+        dim=lattice.dim,
+    )
+
+
 def filter_ones_norm(lattice: PermutohedralLattice) -> np.ndarray:
     """The normalization vector: filter of all-ones (pairwise.cpp:44)."""
     ones = jnp.ones((lattice.offsets.shape[0], 1), jnp.float32)

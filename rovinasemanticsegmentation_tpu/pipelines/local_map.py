@@ -28,7 +28,7 @@ import numpy as np
 from ..fusion.projector import MultiProjector
 from ..fusion.unaries import accumulate_unaries
 from ..models.crf import exp_and_normalize, potts_mean_field
-from ..models.lattice import build_lattice, lattice_filter
+from ..models.lattice import build_lattice, lattice_filter, pad_lattice
 
 
 @dataclass
@@ -148,7 +148,9 @@ class LocalMapPipeline:
                 ],
                 axis=1,
             )  # [N, 6] (segmenter.cpp:629-637)
-            lattice = build_lattice(feats)
+            # Bucket the vertex count so repeated maps reuse the compiled
+            # mean-field (M varies per map; static shapes would recompile).
+            lattice = pad_lattice(build_lattice(feats))
             offsets = jnp.asarray(lattice.offsets)
             bary = jnp.asarray(lattice.barycentric)
             n1 = jnp.asarray(lattice.blur_n1)

@@ -351,3 +351,28 @@ class TestDenseCRF:
         q = crf.inference(2)
         kl = crf.kl_divergence(q)
         assert np.isfinite(kl)
+
+
+class TestLatticePadding:
+    def test_padded_filter_identical(self):
+        from rovinasemanticsegmentation_tpu.models.lattice import pad_lattice
+
+        rng = np.random.default_rng(9)
+        feats = rng.normal(size=(120, 6)).astype(np.float32) * 2
+        lat = build_lattice(feats)
+        padded = pad_lattice(lat, bucket=1024)
+        assert padded.num_vertices >= lat.num_vertices
+        assert padded.num_vertices % 1024 == 0
+        vals = rng.normal(size=(120, 4)).astype(np.float32)
+        np.testing.assert_allclose(
+            _jax_filter(padded, vals), _jax_filter(lat, vals), rtol=1e-5, atol=1e-6
+        )
+
+    def test_exact_bucket_no_copy(self):
+        from rovinasemanticsegmentation_tpu.models.lattice import pad_lattice
+
+        rng = np.random.default_rng(10)
+        feats = rng.normal(size=(20, 2)).astype(np.float32)
+        lat = build_lattice(feats)
+        padded = pad_lattice(lat, bucket=lat.num_vertices)
+        assert padded is lat  # M already a bucket multiple
