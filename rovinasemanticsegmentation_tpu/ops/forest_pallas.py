@@ -142,7 +142,7 @@ def _descent_kernel(
     feats_ref,  # VMEM [TILE, FC * 128] feature tile
     meta_ref,  # VMEM [T, Np // 128, 128]
     thr_ref,  # VMEM [T, Np // 128, 128]
-    out_ref,  # VMEM [TILE, T_pad] leaf ids
+    out_ref,  # VMEM [TILE // 128, T * 128] leaf ids, points on lanes
     *,
     num_trees: int,
     num_levels: int,
@@ -150,10 +150,27 @@ def _descent_kernel(
     feat_chunks: int,
     tile: int,
 ):
+    """Points-on-lanes descent: per-point state lives as [S, 128] vectors
+    (S = tile/128), so the chunk sweep costs ~1 vector op per chunk instead
+    of the 128x-replicated [tile, 128] formulation. Only the x[p, f] lookup
+    detours through the points-on-sublanes domain: f is up-converted with a
+    one-hot matmul + static lane-gather, the feature chunks are lane-gathered
+    there, and the scalar-per-point result reshapes back down ([tile, 1] ->
+    [S, 128] is a supported Mosaic relayout)."""
     fmask = (1 << feat_bits) - 1
+    s_rows = tile // LANES
+
+    # Constant helpers for the lanes <-> sublanes layout dance.
+    p_row = jax.lax.broadcasted_iota(jnp.int32, (tile, s_rows), 0) // LANES
+    e_mat = (
+        p_row == jax.lax.broadcasted_iota(jnp.int32, (tile, s_rows), 1)
+    ).astype(jnp.float32)  # [tile, S] one-hot of p // 128
+    lane_of_p = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0) % LANES
+    )  # static per-row lane index p % 128
 
     for t in range(num_trees):
-        node = jnp.zeros((tile, LANES), jnp.int32)  # replicated across lanes
+        node = jnp.zeros((s_rows, LANES), jnp.int32)  # points on lanes
 
         def level_body(l, node):
             off_c = off_ref[t, l]  # chunk units
@@ -165,33 +182,49 @@ def _descent_kernel(
                 base = c * LANES
                 in_chunk = (local >= base) & (local < base + LANES)
                 r = jnp.clip(local - base, 0, LANES - 1)
-                chunk_m = meta_ref[t, off_c + c, :]  # [128]
-                chunk_t = thr_ref[t, off_c + c, :]
-                m_b = jnp.broadcast_to(chunk_m[None, :], (tile, LANES))
-                t_b = jnp.broadcast_to(chunk_t[None, :], (tile, LANES))
-                g_m = jnp.take_along_axis(m_b, r, axis=1)
-                g_t = jnp.take_along_axis(t_b, r, axis=1)
+                chunk_m = jnp.broadcast_to(
+                    meta_ref[t, off_c + c, :].reshape(1, LANES), (s_rows, LANES)
+                )
+                chunk_t = jnp.broadcast_to(
+                    thr_ref[t, off_c + c, :].reshape(1, LANES), (s_rows, LANES)
+                )
+                g_m = jnp.take_along_axis(chunk_m, r, axis=1)
+                g_t = jnp.take_along_axis(chunk_t, r, axis=1)
                 meta_acc = jnp.where(in_chunk, g_m, meta_acc)
                 thr_acc = jnp.where(in_chunk, g_t, thr_acc)
                 return meta_acc, thr_acc
 
-            meta0 = jnp.zeros((tile, LANES), jnp.int32)
-            thr0 = jnp.zeros((tile, LANES), jnp.float32)
+            meta0 = jnp.zeros((s_rows, LANES), jnp.int32)
+            thr0 = jnp.zeros((s_rows, LANES), jnp.float32)
             meta, thr = jax.lax.fori_loop(
                 0, n_chunks, chunk_body, (meta0, thr0)
             )
 
-            f = meta & fmask
+            f = meta & fmask  # [S, 128]
             lc = meta >> feat_bits
 
-            # x[p, f]: lane-gather over the point tile's feature chunks.
-            f_chunk = f // LANES
-            f_lane = f - f_chunk * LANES
-            x = jnp.zeros((tile, LANES), jnp.float32)
+            # Up-convert f to the sublane domain: row p of (e_mat @ f) is
+            # f's row p//128; the static lane-gather then puts f_p in every
+            # lane of row p. precision=HIGHEST is load-bearing: the TPU
+            # default bf16 matmul rounds integer feature indices >= 257.
+            f_rows = jnp.dot(
+                e_mat, f.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)  # [tile, 128]
+            f_rep = jnp.take_along_axis(f_rows, lane_of_p, axis=1)
+
+            # x[p, f_p]: lane-gathers over the tile's feature chunks.
+            f_chunk = f_rep // LANES
+            f_lane = f_rep - f_chunk * LANES
+            x_rep = jnp.zeros((tile, LANES), jnp.float32)
             for fc in range(feat_chunks):
                 chunk = feats_ref[:, pl.ds(fc * LANES, LANES)]
                 xc = jnp.take_along_axis(chunk, f_lane, axis=1)
-                x = jnp.where(f_chunk == fc, xc, x)
+                x_rep = jnp.where(f_chunk == fc, xc, x_rep)
+
+            # Down-convert the per-point scalar back to points-on-lanes.
+            x = x_rep[:, 0:1].reshape(s_rows, LANES)
 
             nxt = lc + (x >= thr).astype(jnp.int32)
             return jnp.where(lc == 0, node, nxt)
@@ -209,9 +242,12 @@ def find_leaves_pallas(
     level_chunks: jnp.ndarray,  # [T, LV] i32
     num_levels: int,
     feat_bits: int,
-    tile: int = 512,
+    tile: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:  # [P, T] leaf ids (level-major numbering)
+    # Mosaic targets TPUs; anywhere else (CPU tests, virtual meshes) the
+    # kernel runs through the Pallas interpreter transparently.
+    interpret = interpret or jax.default_backend() != "tpu"
     p, d = features.shape
     t_count = meta.shape[0]
     feat_chunks = -(-d // LANES)
@@ -241,15 +277,23 @@ def find_leaves_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile, t_count * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile // LANES, t_count * LANES),
+            lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((p_pad, t_count * LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (p_pad // LANES, t_count * LANES), jnp.int32
+        ),
         interpret=interpret,
     )(level_offsets, level_chunks, feats, meta, thresholds)
 
-    # Column 0 of each tree's lane-replicated block.
-    leaves = out[:p, :: LANES][:, :t_count]
-    return leaves
+    # out[p // 128, t * 128 + p % 128] -> [P, T].
+    leaves = (
+        out.reshape(p_pad // LANES, t_count, LANES)
+        .transpose(0, 2, 1)
+        .reshape(p_pad, t_count)
+    )
+    return leaves[:p]
 
 
 class PallasForestPredictor:

@@ -35,11 +35,36 @@ from ..features.extractor import (
     FeatureExtractor,
     _extract_impl,
 )
-from ..models.forest import Forest, ForestPredictor, forest_log_posterior_packed
+from ..models.forest import (
+    Forest,
+    ForestPredictor,
+    _sum_leaf_histograms,
+    forest_log_posterior_packed,
+)
+from ..ops.forest_pallas import PallasForestPredictor, find_leaves_pallas
 from ..ops.resize import resize_bilinear
 from ..utils.calibration import Calibration
 
 ARGMAX_FLOOR = -1000.0  # test_multi.cpp:181,207
+
+
+def _posterior_maps(post, mask, depth_mm, stride, class_counts, fill_value,
+                    out_h, out_w):
+    """Stride posteriors -> full-res maps + argmax labels (shared tail)."""
+    h, w = depth_mm.shape
+    gh, gw = -(-h // stride), -(-w // stride)
+    posteriors = []
+    labels = []
+    for li, c in enumerate(class_counts):
+        layer = jnp.where(mask[:, None], post[:, li, :c], fill_value)
+        grid_img = layer.reshape(gh, gw, c)
+        full = resize_bilinear(grid_img, out_h, out_w)  # [H, W, c]
+        max_val = jnp.max(full, axis=-1)
+        lbl = jnp.argmax(full, axis=-1).astype(jnp.int8)
+        lbl = jnp.where(max_val > ARGMAX_FLOOR, lbl, jnp.int8(-1))
+        posteriors.append(full)
+        labels.append(lbl)
+    return posteriors, labels
 
 
 @partial(
@@ -104,21 +129,42 @@ def _single_frame_impl(
     post = forest_log_posterior_packed(
         features, records, leaf_hist, max_depth=max_depth, feat_bits=feat_bits,
     )  # [P, L, Cmax]
+    return _posterior_maps(
+        post, mask, depth_mm, stride, class_counts, fill_value, out_h, out_w
+    )
 
-    h, w = depth_mm.shape
-    gh, gw = -(-h // stride), -(-w // stride)
-    posteriors = []
-    labels = []
-    for li, c in enumerate(class_counts):
-        layer = jnp.where(mask[:, None], post[:, li, :c], fill_value)
-        grid_img = layer.reshape(gh, gw, c)
-        full = resize_bilinear(grid_img, out_h, out_w)  # [H, W, c]
-        max_val = jnp.max(full, axis=-1)
-        lbl = jnp.argmax(full, axis=-1).astype(jnp.int8)
-        lbl = jnp.where(max_val > ARGMAX_FLOOR, lbl, jnp.int8(-1))
-        posteriors.append(full)
-        labels.append(lbl)
-    return posteriors, labels
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "stride", "patch_size", "reduce_size", "use_color_patch", "use_depth",
+        "use_height", "use_normal", "num_levels", "feat_bits", "class_counts",
+        "fill_value", "out_h", "out_w",
+    ),
+)
+def _single_frame_impl_pallas(
+    rgb, depth_mm, intrinsic_inverse, rotation, translation, d_min, d_max,
+    meta, thresholds, level_offsets, level_chunks, leaf_hist,
+    *, stride, patch_size, reduce_size, use_color_patch, use_depth,
+    use_height, use_normal, num_levels, feat_bits, class_counts,
+    fill_value, out_h, out_w,
+):
+    """Single-frame slice with the Pallas descent kernel (~4.6x faster
+    tree traversal on v5e; see ops/forest_pallas.py)."""
+    features, mask, ys, xs = _extract_impl(
+        rgb, depth_mm, intrinsic_inverse, rotation, translation, d_min, d_max,
+        stride=stride, patch_size=patch_size, reduce_size=reduce_size,
+        use_color_patch=use_color_patch, use_depth=use_depth,
+        use_height=use_height, use_normal=use_normal,
+    )
+    leaves = find_leaves_pallas(
+        features, meta, thresholds, level_offsets, level_chunks,
+        num_levels=num_levels, feat_bits=feat_bits,
+    )
+    post = _sum_leaf_histograms(leaf_hist, leaves)
+    return _posterior_maps(
+        post, mask, depth_mm, stride, class_counts, fill_value, out_h, out_w
+    )
 
 
 @dataclass
@@ -136,12 +182,17 @@ class SingleFramePipeline:
         forest: Forest,
         stride: int,
         fill_value: float = ARGMAX_FLOOR,
+        use_pallas: Optional[bool] = None,
     ):
         self.feature_config = feature_config
-        self.predictor = ForestPredictor(forest)
         self.stride = int(stride)
         self.fill_value = float(fill_value)
         self.class_counts = tuple(forest.class_counts)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = bool(use_pallas)
+        self.pallas_predictor = PallasForestPredictor(forest) if self.use_pallas else None
+        self.predictor = ForestPredictor(forest)
 
     def run(
         self,
@@ -151,6 +202,33 @@ class SingleFramePipeline:
     ) -> SingleFrameResult:
         cfg = self.feature_config
         h, w = np.asarray(depth_mm).shape
+        if self.use_pallas:
+            pp = self.pallas_predictor
+            posteriors, labels = _single_frame_impl_pallas(
+                jnp.asarray(rgb),
+                jnp.asarray(depth_mm),
+                jnp.asarray(calibration.intrinsic_inverse),
+                jnp.asarray(calibration.rotation),
+                jnp.asarray(calibration.translation),
+                jnp.float32(cfg.d_min),
+                jnp.float32(cfg.d_max),
+                pp.meta, pp.thresholds, pp.level_offsets, pp.level_chunks,
+                pp.leaf_hist,
+                stride=self.stride,
+                patch_size=cfg.patch_size,
+                reduce_size=cfg.patch_size_reduce,
+                use_color_patch=cfg.use_color_patch,
+                use_depth=cfg.use_depth,
+                use_height=cfg.use_height,
+                use_normal=cfg.use_normal,
+                num_levels=pp.lm.num_levels,
+                feat_bits=pp.lm.feat_bits,
+                class_counts=self.class_counts,
+                fill_value=self.fill_value,
+                out_h=h,
+                out_w=w,
+            )
+            return SingleFrameResult(posteriors=posteriors, labels=labels)
         posteriors, labels = _single_frame_impl(
             jnp.asarray(rgb),
             jnp.asarray(depth_mm),

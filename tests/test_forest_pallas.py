@@ -88,3 +88,41 @@ class TestPallasKernel:
         x = jnp.array([[0.999], [1.0], [1.001]])
         post = np.asarray(pp.log_posterior(x))[:, 0]
         np.testing.assert_allclose(post, [[1, 0], [0, 1], [0, 1]])
+
+
+class TestPallasPipeline:
+    def test_pipeline_pallas_matches_xla(self):
+        """Full single-frame slice through the Pallas descent (interpret on
+        CPU) vs the XLA path. Uses 366 features so feature indices >= 257
+        exercise the one-hot up-conversion exactness."""
+        from rovinasemanticsegmentation_tpu.features.extractor import (
+            FeatureConfig,
+        )
+        from rovinasemanticsegmentation_tpu.pipelines.single_frame import (
+            SingleFramePipeline,
+        )
+        from rovinasemanticsegmentation_tpu.utils.calibration import Calibration
+
+        rng = np.random.default_rng(0)
+        h, w = 32, 40
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        depth = rng.integers(600, 9000, (h, w)).astype(np.uint16)
+        calib = Calibration(
+            intrinsic=np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]]),
+            rotation=np.eye(3),
+            translation=np.zeros(3),
+        )
+        cfg = FeatureConfig(patch_size=77, patch_size_reduce=11)
+        assert cfg.feature_length == 366
+        forest = random_forest(
+            rng, num_trees=3, depth=9, num_features=366,
+            class_counts=[8, 9], max_nodes=601,
+        )
+        ref = SingleFramePipeline(cfg, forest, stride=2, use_pallas=False)
+        pal = SingleFramePipeline(cfg, forest, stride=2, use_pallas=True)
+        r_ref = ref.run(rgb, depth, calib)
+        r_pal = pal.run(rgb, depth, calib)
+        for a, b in zip(r_ref.posteriors, r_pal.posteriors):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        for a, b in zip(r_ref.labels, r_pal.labels):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
