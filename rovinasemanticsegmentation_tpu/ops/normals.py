@@ -88,10 +88,38 @@ def _box_sum(integral: jnp.ndarray, y0, y1, x0, x1) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=())
 def normal_angles(
-    points: jnp.ndarray,  # [H, W, 3] world/camera points, NaN invalid
+    points: jnp.ndarray,
     max_depth_change_factor: jnp.ndarray = jnp.float32(0.02),
     normal_smoothing_size: jnp.ndarray = jnp.float32(10.0),
-) -> jnp.ndarray:  # [H, W] float32: acos(|n_z|), or -2 where undefined
+) -> jnp.ndarray:
+    """Full-resolution angles [H, W] (see :func:`normal_angles_at`)."""
+    return _normal_angles_impl(
+        points, None, None, max_depth_change_factor, normal_smoothing_size
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def normal_angles_at(
+    points: jnp.ndarray,  # [H, W, 3]
+    ys2d: jnp.ndarray,  # [gh, gw] sample rows
+    xs2d: jnp.ndarray,  # [gh, gw] sample cols
+    max_depth_change_factor: jnp.ndarray = jnp.float32(0.02),
+    normal_smoothing_size: jnp.ndarray = jnp.float32(10.0),
+) -> jnp.ndarray:  # [gh, gw]
+    """Angles only at the stride-grid samples.
+
+    The integral images and distance transform still run at full resolution
+    (their windows span full-res data), but the per-pixel window sums, cross
+    product and arccos run only at the consumed grid points — exactly the
+    pixels the extractor reads (feature_extractor.h:269-289)."""
+    return _normal_angles_impl(
+        points, ys2d, xs2d, max_depth_change_factor, normal_smoothing_size
+    )
+
+
+def _normal_angles_impl(
+    points, ys2d, xs2d, max_depth_change_factor, normal_smoothing_size
+):
     h, w = points.shape[0], points.shape[1]
     z = points[..., 2]
     invalid = jnp.isnan(z)
@@ -125,12 +153,17 @@ def normal_angles(
     icx = _masked_integral(gx_valid.astype(jnp.float32))
     icy = _masked_integral(gy_valid.astype(jnp.float32))
 
-    # --- per-pixel smoothing radius
+    # --- per-pixel smoothing radius (sampled at the consumed pixels only)
+    if ys2d is not None:
+        ys, xs = ys2d, xs2d
+        distance = distance[ys2d, xs2d]
+        invalid = invalid[ys2d, xs2d]
+    else:
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     smoothing = jnp.minimum(distance, normal_smoothing_size)
     radius = jnp.floor(smoothing * 0.5).astype(jnp.int32)  # rect/2
 
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     y0 = jnp.maximum(ys - radius, 0)
     y1 = jnp.minimum(ys + radius, h - 1)
     x0 = jnp.maximum(xs - radius, 0)

@@ -301,7 +301,10 @@ class Segmenter:
                 posteriors = self._external_frame(rgb, depth, calib)
             else:
                 result = self._frame_pipeline.run(rgb, depth, calib)
-                posteriors = [np.asarray(p) for p in result.posteriors]
+                # Keep posteriors on device: the fusion stage consumes them
+                # there (accumulate_unaries); pulling ~20MB per frame to the
+                # host would waste PCIe/tunnel bandwidth.
+                posteriors = list(result.posteriors)
             with self._frame_lock:
                 self._result_queues[i].append((seq, posteriors))
             return True
