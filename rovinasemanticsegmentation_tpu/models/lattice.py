@@ -46,6 +46,10 @@ class PermutohedralLattice:
     blur_n2: np.ndarray  # [d+1, M] int32
     num_vertices: int  # M
     dim: int  # d
+    # Simplex geometry kept for the differentiable-barycentric path
+    # (lattice_filter_differentiable); None when built by the native builder.
+    rem0: "np.ndarray | None" = None  # [N, d+1] float32
+    rank: "np.ndarray | None" = None  # [N, d+1] int32
 
     @property
     def alpha(self) -> float:
@@ -174,6 +178,8 @@ def build_lattice(
         blur_n2=blur_n2,
         num_vertices=m,
         dim=d,
+        rem0=rem0.astype(np.float32),
+        rank=rank.astype(np.int32),
     )
 
 
@@ -214,6 +220,83 @@ def lattice_filter(
     return out
 
 
+def differentiable_barycentric(
+    features: jnp.ndarray,  # [N, d]
+    rem0: jnp.ndarray,  # [N, d+1] the lattice build's remainder points
+    rank: jnp.ndarray,  # [N, d+1]
+) -> jnp.ndarray:  # [N, d+1] barycentric weights, differentiable in features
+    """Barycentric weights as a differentiable function of the features.
+
+    The reference's analytic feature gradient
+    (``permutohedral.cpp:612-695``) differentiates the filter through the
+    barycentric/elevation chain while holding the discrete lattice structure
+    (vertex rounding and rank permutation) fixed; this is the same
+    computation expressed for jax.grad: ``rem0``/``rank`` come from the host
+    build and are treated as constants, the elevation is linear in the
+    features, and the weight assembly (permutohedral.cpp:417-426) is
+    differentiable arithmetic.
+    """
+    n, d = features.shape
+    inv_std_dev = np.sqrt(2.0 / 3.0) * (d + 1)
+    scale = jnp.asarray(
+        (1.0 / np.sqrt((np.arange(d) + 2.0) * (np.arange(d) + 1.0)))
+        * inv_std_dev,
+        jnp.float32,
+    )
+    c = features * scale[None, :]
+    suffix = jnp.concatenate(
+        [
+            jnp.cumsum(c[:, ::-1], axis=1)[:, ::-1],
+            jnp.zeros((n, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    js = jnp.arange(1, d + 1, dtype=jnp.float32)
+    elevated = jnp.concatenate(
+        [suffix[:, :1], suffix[:, 1:] - js[None, :] * c], axis=1
+    )
+
+    down = 1.0 / (d + 1)
+    v = (elevated - rem0) * down  # [N, d+1]
+    idx = d - rank  # target slots in the d+2 accumulator
+    bary = jnp.zeros((n, d + 2), jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, d + 1))
+    bary = bary.at[rows, idx].add(v)
+    bary = bary.at[rows, idx + 1].add(-v)
+    bary = bary.at[:, 0].add(1.0 + bary[:, d + 1])
+    return bary[:, : d + 1]
+
+
+def lattice_filter_differentiable(
+    features: jnp.ndarray,  # [N, d]
+    values: jnp.ndarray,  # [N, C]
+    lattice: PermutohedralLattice,
+) -> jnp.ndarray:
+    """Gaussian filter differentiable w.r.t. the feature positions.
+
+    jax.grad through this reproduces the reference's
+    ``Permutohedral::gradient`` (d/df of a^T K b): gradients flow through
+    the splat and slice barycentric weights; the vertex topology is fixed.
+    """
+    if lattice.rem0 is None:
+        # The native builder doesn't export simplex geometry; rebuild with
+        # the NumPy path (learning problems are small).
+        lattice = build_lattice(np.asarray(features), use_native=False)
+    bary = differentiable_barycentric(
+        features,
+        jnp.asarray(lattice.rem0),
+        jnp.asarray(lattice.rank),
+    )
+    return lattice_filter(
+        values,
+        jnp.asarray(lattice.offsets),
+        bary,
+        jnp.asarray(lattice.blur_n1),
+        jnp.asarray(lattice.blur_n2),
+        lattice.num_vertices,
+    )
+
+
 def pad_lattice(
     lattice: PermutohedralLattice, bucket: int = 1 << 14
 ) -> PermutohedralLattice:
@@ -249,6 +332,8 @@ def pad_lattice(
         blur_n2=pad_tbl(lattice.blur_n2),
         num_vertices=m_pad,
         dim=lattice.dim,
+        rem0=lattice.rem0,
+        rank=lattice.rank,
     )
 
 

@@ -92,7 +92,12 @@ def extract_patches_scan(
     half = jnp.where(depth_grid > 0, jnp.minimum(half, b), 0)
 
     # Distinct h values present in this frame, compacted front-first.
-    counts = jnp.zeros((nh,), jnp.int32).at[half.reshape(-1)].add(1)
+    # Masked points (depth <= 0) don't demand their h value: their feature
+    # rows are zeroed downstream anyway.
+    half_or_skip = jnp.where(depth_grid > 0, half, nh)
+    counts = (
+        jnp.zeros((nh + 1,), jnp.int32).at[half_or_skip.reshape(-1)].add(1)[:nh]
+    )
     present = counts > 0
     order = jnp.argsort(~present, stable=True)
     hs = jnp.arange(nh, dtype=jnp.int32)[order]
@@ -159,13 +164,14 @@ def extract_patches_scan(
             acc_i = wt0[i] * row(off0[i]) + wt1[i] * row(off1[i])  # [R, gh, gw, 3]
             outs.append(((acc_i + (1 << 21)) >> 22).astype(jnp.uint8))
         out_h = jnp.stack(outs, axis=0)  # [R_i, R_j, gh, gw, 3]
-        out_h = jnp.transpose(out_h, (2, 3, 0, 1, 4))  # [gh, gw, R, R, 3]
 
-        mask = (half == h)[:, :, None, None, None]
+        # Accumulate in the loop-native [R, R, gh, gw, 3] layout; the final
+        # transpose to [gh, gw, R, R, 3] happens once, outside the loop.
+        mask = (half == h)[None, None, :, :, None]
         return it + 1, jnp.where(mask, out_h, acc)
 
-    acc0 = jnp.zeros((gh, gw, r, r, 3), jnp.uint8)
+    acc0 = jnp.zeros((r, r, gh, gw, 3), jnp.uint8)
     _, acc = jax.lax.while_loop(
         lambda s: s[0] < n_present, body, (jnp.int32(0), acc0)
     )
-    return acc
+    return jnp.transpose(acc, (2, 3, 0, 1, 4))
