@@ -1,0 +1,240 @@
+"""Pallas TPU kernel for depth-adaptive patch extraction.
+
+Third-generation formulation (after the gather version in ``ops/patches.py``
+and the dense-slice scan in ``ops/patches_scan.py``). The scan's cost scales
+with (distinct window sizes present in the FRAME) x (full-frame slices); this
+kernel exploits locality instead:
+
+- one program covers 8 grid rows; their source window (8*stride + 2B rows x
+  the full padded width) is DMA'd once into VMEM, double phase-split (row
+  phase x column phase by ``stride``) so every tap row is a contiguous
+  sublane read and every tap column a dynamic lane rotation;
+- the window-size loop runs over only the h values present in THOSE 8 rows
+  (neighboring pixels have similar depth, so per-block h-sets are small);
+- per (h, output row i): two sublane row-reads + channel unpack + row
+  interpolation; per (h, i, j): two dynamic lane rolls + fixed-point column
+  interpolation, masked into the accumulator where ``half == h``.
+
+Bit-exact with the other two implementations (same 1/2048 weights and
+``(acc + 2^21) >> 22`` rounding).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .patches_scan import _tap_tables
+
+LANES = 128
+ROWS_PER_PROGRAM = 8
+
+
+def _kernel(
+    present_ref,  # SMEM [blocks, NH] h-presence counts (indexed by program)
+    t0_ref,  # SMEM [NH, R]
+    t1_ref,  # SMEM [NH, R]
+    w0_ref,  # SMEM [NH, R]
+    w1_ref,  # SMEM [NH, R]
+    half_ref,  # VMEM [8, WL] per-point half (-1 pad)
+    img_ref,  # ANY  [s, HPH, s, WL] packed phased image (whole array)
+    out_ref,  # VMEM [8, KPAD, WL] uint8
+    region_ref,  # scratch VMEM [s, WINS, s, WL] int32
+    acc_ref,  # scratch VMEM [8, KPAD, WL] int32
+    sem,  # DMA semaphore
+    *,
+    stride: int,
+    nh: int,
+    r_size: int,
+    wins: int,
+    wl: int,
+):
+    prog = pl.program_id(0)
+    r0 = prog * ROWS_PER_PROGRAM
+
+    copy = pltpu.make_async_copy(
+        img_ref.at[:, pl.ds(r0, wins)], region_ref, sem
+    )
+    copy.start()
+
+    half = half_ref[:, :]  # [8, WL]
+    kpad = acc_ref.shape[1]
+    acc_ref[:, :, :] = jnp.zeros((ROWS_PER_PROGRAM, kpad, wl), jnp.int32)
+
+    copy.wait()
+
+    def h_body(h, _):
+        @pl.when(present_ref[prog, h] > 0)
+        def _():
+            mask = half == h  # [8, WL]
+            for i in range(r_size):
+                oy0 = t0_ref[h, i]
+                oy1 = t1_ref[h, i]
+                wy0 = w0_ref[h, i]
+                wy1 = w1_ref[h, i]
+
+                def tap_rows(oy):
+                    # Tap row for grid row k is k*s + oy; in phased coords
+                    # that's phase oy % s, rows r_local + oy // s.
+                    ph = oy % stride
+                    base = oy // stride
+                    # [8, s(colphase), WL]
+                    return region_ref[ph, pl.ds(base, ROWS_PER_PROGRAM), :, :]
+
+                rows0 = tap_rows(oy0)
+                rows1 = tap_rows(oy1)
+                # Row interpolation per channel, still packed by col phase.
+                ri = []  # [colphase][channel] -> [8, WL]
+                for cp in range(stride):
+                    chans = []
+                    for ch in range(3):
+                        a = (rows0[:, cp, :] >> (8 * ch)) & 255
+                        b = (rows1[:, cp, :] >> (8 * ch)) & 255
+                        chans.append(wy0 * a + wy1 * b)
+                    ri.append(chans)
+
+                for j in range(r_size):
+                    ox0 = t0_ref[h, j]
+                    ox1 = t1_ref[h, j]
+                    wx0 = w0_ref[h, j]
+                    wx1 = w1_ref[h, j]
+
+                    def tap_cols(ox, ch):
+                        # Tap col for point p is p*s + ox: col phase ox % s,
+                        # lane p + ox // s -> dynamic left rotation.
+                        cp = ox % stride
+                        sel = ri[0][ch]
+                        for c in range(1, stride):
+                            sel = jnp.where(cp == c, ri[c][ch], sel)
+                        return pltpu.roll(sel, -(ox // stride), axis=1)
+
+                    for ch in range(3):
+                        v = (
+                            wx0 * tap_cols(ox0, ch)
+                            + wx1 * tap_cols(ox1, ch)
+                            + (1 << 21)
+                        ) >> 22
+                        k = (i * r_size + j) * 3 + ch
+                        cur = acc_ref[:, k, :]
+                        acc_ref[:, k, :] = jnp.where(mask, v, cur)
+        return 0
+
+    jax.lax.fori_loop(0, nh, h_body, 0)
+    out_ref[:, :, :] = jnp.clip(acc_ref[:, :, :], 0, 255).astype(jnp.uint8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("patch_size", "reduce_size", "stride", "interpret"),
+)
+def extract_patches_pallas(
+    padded_lab: jnp.ndarray,  # [Hp, Wp, 3] uint8
+    depth_grid: jnp.ndarray,  # [gh, gw] float32 meters (<= 0 masked)
+    patch_size: int,
+    reduce_size: int,
+    stride: int,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [gh, gw, R, R, 3] uint8
+    interpret = interpret or jax.default_backend() != "tpu"
+    b = patch_size
+    r = reduce_size
+    nh = b + 1
+    gh, gw = depth_grid.shape
+    s = stride
+
+    # half per grid point (feature_extractor.h:140), -1 where masked.
+    safe = jnp.maximum(depth_grid, 1e-6)
+    half = jnp.floor(b / (2.0 * safe)).astype(jnp.int32)
+    half = jnp.where(depth_grid > 0, jnp.minimum(half, b), -1)
+
+    # Pack Lab and phase-split rows/columns by stride.
+    img = padded_lab.astype(jnp.int32)
+    packed = img[..., 0] | (img[..., 1] << 8) | (img[..., 2] << 16)
+
+    wins = ROWS_PER_PROGRAM + (2 * b) // s + 1
+    gh_pad = -(-gh // ROWS_PER_PROGRAM) * ROWS_PER_PROGRAM
+    hph = gh_pad + wins  # phased rows needed
+    cols_per_phase = -(-padded_lab.shape[1] // s)
+    wl = -(-cols_per_phase // LANES) * LANES
+
+    need_h = hph * s
+    need_w = wl * s
+    packed = jnp.pad(
+        packed,
+        (
+            (0, max(0, need_h - packed.shape[0])),
+            (0, max(0, need_w - packed.shape[1])),
+        ),
+    )[:need_h, :need_w]
+    # [s(rowphase), HPH, s(colphase), WL]
+    phased = (
+        packed.reshape(hph, s, wl, s).transpose(1, 0, 3, 2)
+    )
+
+    half_pad = jnp.pad(
+        half, ((0, gh_pad - gh), (0, wl - gw)), constant_values=-1
+    )
+
+    # Per-block h presence.
+    blocks = gh_pad // ROWS_PER_PROGRAM
+    half_blocks = half_pad.reshape(blocks, ROWS_PER_PROGRAM * wl)
+    onehot = jax.nn.one_hot(
+        jnp.clip(half_blocks, 0, nh - 1), nh, dtype=jnp.int32
+    ) * (half_blocks >= 0)[..., None]
+    present = onehot.sum(axis=1)  # [blocks, NH]
+
+    t0_np, t1_np, w0_np, w1_np = _tap_tables(b, r)
+    kpad = -(-(r * r * 3) // 8) * 8
+
+    out = pl.pallas_call(
+        partial(
+            _kernel,
+            stride=s,
+            nh=nh,
+            r_size=r,
+            wins=wins,
+            wl=wl,
+        ),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (ROWS_PER_PROGRAM, wl), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWS_PER_PROGRAM, kpad, wl), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((gh_pad, kpad, wl), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((s, wins, s, wl), jnp.int32),
+            pltpu.VMEM((ROWS_PER_PROGRAM, kpad, wl), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        present,
+        jnp.asarray(t0_np),
+        jnp.asarray(t1_np),
+        jnp.asarray(w0_np),
+        jnp.asarray(w1_np),
+        half_pad,
+        phased,
+    )
+
+    # [gh_pad, K, WL] -> [gh, gw, R, R, 3]
+    out = out[:gh, : r * r * 3, :gw]
+    return jnp.transpose(out, (0, 2, 1)).reshape(gh, gw, r, r, 3)
