@@ -156,6 +156,30 @@ def split_search_step(
     return best_obj, best_thr, best_left, best_right
 
 
+@partial(jax.jit, static_argnames=("num_segments", "num_classes"))
+def multi_slot_split_search(
+    x: jnp.ndarray,  # [Ns, D]
+    feats: jnp.ndarray,  # [F, K] sampled feature ids per frontier node
+    seg: jnp.ndarray,  # [Ns] frontier slot per example (F = inactive)
+    seg_search: jnp.ndarray,  # [Ns] like seg but masking unsearchable nodes
+    cls: jnp.ndarray,  # [Ns]
+    num_segments: int,
+    num_classes: int,
+):
+    """All K feature slots of one level in a single device step."""
+
+    def one_slot(slot_feats):  # [F]
+        feat_per_example = jnp.take(
+            slot_feats, jnp.minimum(seg, num_segments - 1)
+        )
+        vals = jnp.take_along_axis(x, feat_per_example[:, None], axis=1)[:, 0]
+        return split_search_step(
+            vals, seg_search, cls, num_segments, num_classes
+        )
+
+    return jax.vmap(one_slot)(feats.T)  # each output [K, F]
+
+
 @partial(jax.jit, static_argnames=("num_segments", "num_classes", "num_layers"))
 def node_stats_step(
     seg: jnp.ndarray,  # [Ns]
@@ -274,24 +298,23 @@ def _grow_tree(
             f_count,
         )
 
+        # One fused device step searches all K feature slots (vmapped over
+        # slots); earlier feature wins ties via strict < in slot order, like
+        # the reference's sequential sweep (:588).
+        obj_k, thr_k, lm_k, rm_k = multi_slot_split_search(
+            x, feats_dev, seg, seg_search, cls, f_count, num_classes
+        )
+        obj_k = np.asarray(obj_k)  # [K, F]
+        thr_k = np.asarray(thr_k)
+        lm_k = np.asarray(lm_k)
+        rm_k = np.asarray(rm_k)
         for slot in range(k):
-            feat_per_example = jnp.take(
-                feats_dev[:, slot], jnp.minimum(seg, f_count - 1)
-            )
-            vals = jnp.take_along_axis(x, feat_per_example[:, None], axis=1)[:, 0]
-            obj, thr, lm, rm = split_search_step(
-                vals, seg_search, cls, f_count, num_classes
-            )
-            obj = np.asarray(obj)
-            thr = np.asarray(thr)
-            lm = np.asarray(lm)
-            rm = np.asarray(rm)
-            improve = obj < best  # strict <: earlier feature wins ties (:588)
-            best_thr = np.where(improve, thr, best_thr)
+            improve = obj_k[slot] < best
+            best_thr = np.where(improve, thr_k[slot], best_thr)
             best_feat = np.where(improve, feats[:, slot], best_feat)
-            best_lmass = np.where(improve, lm, best_lmass)
-            best_rmass = np.where(improve, rm, best_rmass)
-            best = np.where(improve, obj, best)
+            best_lmass = np.where(improve, lm_k[slot], best_lmass)
+            best_rmass = np.where(improve, rm_k[slot], best_rmass)
+            best = np.where(improve, obj_k[slot], best)
 
         # Apply splits (host) and partition examples (device).
         new_frontier: List[int] = []
