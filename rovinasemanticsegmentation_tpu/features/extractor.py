@@ -33,7 +33,7 @@ import numpy as np
 
 from ..ops.color import rgb_to_lab8
 from ..ops.geometry import backproject, depth_valid_mask
-from ..ops.normals import normal_angles_at
+from ..ops.normals import normal_angles_grid
 from ..ops.patches import extract_patches, reflect_pad_image
 from ..ops.patches_pallas import extract_patches_pallas
 from ..ops.patches_scan import extract_patches_scan
@@ -181,7 +181,7 @@ def _extract_impl(
         height = points[ys2d, xs2d, 2].reshape(-1)
         parts.append(jnp.nan_to_num(height)[:, None])
     if use_normal:
-        angles = normal_angles_at(points, ys2d, xs2d)
+        angles = normal_angles_grid(points, stride)
         parts.append(angles.reshape(-1)[:, None])
 
     features = jnp.concatenate(parts, axis=1)

@@ -278,3 +278,42 @@ class TestPatches:
         img = np.array([[1, 2, 3]], dtype=np.uint8)
         padded = np.asarray(reflect_pad_image(jnp.asarray(img), 2))
         np.testing.assert_array_equal(padded[2], [2, 1, 1, 2, 3, 3, 2])
+
+
+class TestNormalsGridPath:
+    def test_grid_matches_full_res(self):
+        """The strided-slice box-sum path must equal the gather path."""
+        from rovinasemanticsegmentation_tpu.ops.normals import (
+            normal_angles,
+            normal_angles_grid,
+        )
+
+        rng = np.random.default_rng(11)
+        h, w = 40, 56
+        ys, xs = np.mgrid[0:h, 0:w]
+        z = 2.0 + 0.01 * xs + 0.004 * ys
+        pts = np.stack([xs * 0.01, ys * 0.01, z], -1).astype(np.float32)
+        pts[10:14, 20:26] = np.nan  # a hole
+        pts[:, 40:] += 1.0  # a depth step
+        full = np.asarray(normal_angles(jnp.asarray(pts)))
+        for s in (2, 5):
+            grid = np.asarray(normal_angles_grid(jnp.asarray(pts), s))
+            np.testing.assert_allclose(grid, full[::s, ::s], rtol=1e-5, atol=1e-6)
+
+    def test_grid_large_stride_phase_extent(self):
+        # stride 8 on a 100x120 image: the last phase sub-images are short
+        # without the exact back-padding (dynamic_slice would clamp).
+        from rovinasemanticsegmentation_tpu.ops.normals import (
+            normal_angles,
+            normal_angles_grid,
+        )
+
+        h, w = 100, 120
+        ys, xs = np.mgrid[0:h, 0:w]
+        pts = np.stack([xs * 0.01, ys * 0.01, 2.0 + 0.01 * xs], -1).astype(
+            np.float32
+        )
+        full = np.asarray(normal_angles(jnp.asarray(pts)))
+        for s in (7, 8):
+            grid = np.asarray(normal_angles_grid(jnp.asarray(pts), s))
+            np.testing.assert_allclose(grid, full[::s, ::s], rtol=1e-5, atol=1e-6)
