@@ -241,15 +241,18 @@ class CrfLearner:
         return unravel(jnp.asarray(res.x, jnp.float32)), -float(res.fun)
 
 
-class DiagKernelCrfLearner:
-    """Learn per-dimension feature scales of a Potts kernel (DIAG_KERNEL).
+class _KernelCrfLearner:
+    """Learn kernel feature-transform parameters of a Potts kernel.
 
     Mirrors the reference's kernel-parameter learning
     (``pairwise.cpp:116-163``): the lattice is re-initialized from the
-    scaled features after every parameter step (:140-151), and the gradient
-    w.r.t. the scales flows through the filter's barycentric weights —
-    here via :func:`lattice_filter_differentiable` and jax.grad instead of
-    the hand-derived ``featureGradient`` (:87-114).
+    transformed features after every parameter step (:140-151), and the
+    gradient w.r.t. the parameters flows through the filter's barycentric
+    weights — here via :func:`lattice_filter_differentiable` and jax.grad
+    instead of the hand-derived ``featureGradient`` (:87-114). Subclasses
+    provide ``_transform(base, params) -> feats`` for the DIAG
+    (per-dimension scales, pairwise.cpp:208-230) and FULL (dense d x d
+    matrix, pairwise.cpp:232-254) kernel types.
     """
 
     def __init__(
@@ -266,10 +269,25 @@ class DiagKernelCrfLearner:
         self.n_iterations = n_iterations
         self.objective = objective
 
-    def _neg_obj_and_grad(self, weight: float, scales: np.ndarray):
+    @staticmethod
+    def _transform(base: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def _neg_obj_and_grad(
+        self, weight: float, params: np.ndarray, lattice_at: np.ndarray = None
+    ):
+        """Value and gradient at ``params``.
+
+        The lattice structure is built from ``lattice_at`` (defaults to
+        ``params``) — pass the unperturbed parameters to evaluate with a
+        FIXED lattice, which is the analytic gradient's own semantics
+        (pairwise.cpp re-inits the lattice only between optimizer steps).
+        """
         from .lattice import build_lattice, differentiable_barycentric
 
-        feats = self.base * scales[None, :]
+        params = np.asarray(params, np.float32)
+        at = params if lattice_at is None else np.asarray(lattice_at, np.float32)
+        feats = np.asarray(self._transform(jnp.asarray(self.base), at))
         lattice = build_lattice(feats, use_native=False)
         offsets = jnp.asarray(lattice.offsets)
         n1 = jnp.asarray(lattice.blur_n1)
@@ -279,8 +297,8 @@ class DiagKernelCrfLearner:
         m = lattice.num_vertices
         base = jnp.asarray(self.base)
 
-        def neg_obj(w, s):
-            f = base * s[None, :]
+        def neg_obj(w, p):
+            f = self._transform(base, p)
             bary = differentiable_barycentric(f, rem0, rank)
 
             def filt(q):
@@ -295,10 +313,35 @@ class DiagKernelCrfLearner:
                 q = exp_and_normalize(-self.unary + w * filtered)
             return -self.objective(q, self.gt)
 
-        v, (gw, gs) = jax.value_and_grad(neg_obj, argnums=(0, 1))(
-            jnp.float32(weight), jnp.asarray(scales, jnp.float32)
+        v, (gw, gp) = jax.value_and_grad(neg_obj, argnums=(0, 1))(
+            jnp.float32(weight), jnp.asarray(params)
         )
-        return float(v), float(gw), np.asarray(gs, np.float64)
+        return float(v), float(gw), np.asarray(gp, np.float64)
+
+    def _fit_flat(
+        self, initial_weight: float, params0: np.ndarray, max_iter: int
+    ) -> Tuple[float, np.ndarray, float]:
+        """L-BFGS over (weight, params); lattice rebuilt per evaluation."""
+        from scipy.optimize import minimize
+
+        shape = params0.shape
+
+        def fun(x):
+            v, gw, gp = self._neg_obj_and_grad(x[0], x[1:].reshape(shape))
+            return v, np.concatenate([[gw], gp.ravel()])
+
+        x0 = np.concatenate([[initial_weight], params0.ravel().astype(np.float64)])
+        res = minimize(fun, x0, jac=True, method="L-BFGS-B",
+                       options={"maxiter": max_iter})
+        return float(res.x[0]), res.x[1:].reshape(shape).copy(), -float(res.fun)
+
+
+class DiagKernelCrfLearner(_KernelCrfLearner):
+    """DIAG_KERNEL: per-dimension feature scales (pairwise.cpp:208-230)."""
+
+    @staticmethod
+    def _transform(base: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
+        return base * params[None, :]
 
     def fit(
         self,
@@ -306,19 +349,35 @@ class DiagKernelCrfLearner:
         initial_scales: Sequence[float],
         max_iter: int = 30,
     ) -> Tuple[float, np.ndarray, float]:
-        """L-BFGS over (weight, scales); lattice rebuilt per evaluation."""
-        from scipy.optimize import minimize
+        return self._fit_flat(
+            initial_weight, np.asarray(initial_scales, np.float64), max_iter
+        )
 
-        d = len(initial_scales)
 
-        def fun(x):
-            v, gw, gs = self._neg_obj_and_grad(x[0], x[1:])
-            return v, np.concatenate([[gw], gs])
+class FullKernelCrfLearner(_KernelCrfLearner):
+    """FULL_KERNEL: a dense d x d feature transform (pairwise.cpp:232-254).
 
-        x0 = np.concatenate([[initial_weight], np.asarray(initial_scales, np.float64)])
-        res = minimize(fun, x0, jac=True, method="L-BFGS-B",
-                       options={"maxiter": max_iter})
-        return float(res.x[0]), res.x[1:].copy(), -float(res.fun)
+    The reference parameterizes the kernel as features' = A @ features and
+    learns every entry of A (its ``featureGradient`` contracts the filter
+    gradient with the untransformed features, pairwise.cpp:246-252); here
+    the same contraction falls out of jax.grad through the barycentric
+    weights of ``f @ A.T``.
+    """
+
+    @staticmethod
+    def _transform(base: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
+        return base @ params.T
+
+    def fit(
+        self,
+        initial_weight: float,
+        initial_matrix: np.ndarray,  # [d, d]
+        max_iter: int = 30,
+    ) -> Tuple[float, np.ndarray, float]:
+        m0 = np.asarray(initial_matrix, np.float64)
+        if m0.ndim != 2 or m0.shape[0] != m0.shape[1]:
+            raise ValueError("initial_matrix must be square [d, d]")
+        return self._fit_flat(initial_weight, m0, max_iter)
 
 
 def numeric_gradient(

@@ -288,3 +288,71 @@ class TestDiagKernelLearner:
         v0 = learner._neg_obj_and_grad(1.0, np.array([1.0, 1.0]))[0]
         w, scales, best = learner.fit(1.0, [1.0, 1.0], max_iter=15)
         assert best >= -v0 - 1e-6
+
+
+class TestFullKernelLearner:
+    def test_matrix_gradient_matches_numeric(self):
+        from rovinasemanticsegmentation_tpu.models.crf_learning import (
+            FullKernelCrfLearner,
+        )
+
+        rng = np.random.default_rng(6)
+        n, c, d = 50, 3, 2
+        unary = rng.normal(size=(n, c)).astype(np.float32)
+        base = rng.normal(size=(n, d)).astype(np.float32)
+        gt = rng.integers(0, c, n).astype(np.int32)
+        learner = FullKernelCrfLearner(unary, base, gt, n_iterations=2)
+        m = np.array([[1.1, 0.2], [-0.1, 0.9]])
+        v0, gw, gm = learner._neg_obj_and_grad(1.5, m)
+        assert gm.shape == (d, d)
+        eps = 1e-3
+        for i in range(d):
+            for j in range(d):
+                mp, mm = m.copy(), m.copy()
+                mp[i, j] += eps
+                mm[i, j] -= eps
+                num = (
+                    learner._neg_obj_and_grad(1.5, mp, lattice_at=m)[0]
+                    - learner._neg_obj_and_grad(1.5, mm, lattice_at=m)[0]
+                ) / (2 * eps)
+                # Lattice held fixed at m: the comparison is exact up to
+                # finite-difference error.
+                assert gm[i, j] == pytest.approx(num, rel=5e-2, abs=1e-4)
+
+    def test_fit_finds_rotated_direction(self):
+        from rovinasemanticsegmentation_tpu.models.crf_learning import (
+            DiagKernelCrfLearner,
+            FullKernelCrfLearner,
+        )
+
+        rng = np.random.default_rng(7)
+        n, c = 80, 2
+        # The informative direction is the DIAGONAL f0 + f1: classes
+        # separate along it, while each raw dimension alone mixes signal
+        # with strong noise. A full matrix can rotate onto it.
+        sig = np.zeros(n, np.float32)
+        sig[n // 2:] = 20.0
+        noise = rng.normal(0, 6, size=n).astype(np.float32)
+        base = np.stack([sig + noise, sig - noise], axis=1)
+        gt = np.zeros(n, np.int32)
+        gt[n // 2:] = 1
+        unary = rng.normal(0, 1, size=(n, c)).astype(np.float32)
+        unary[np.arange(n), gt] -= 0.8
+        learner = FullKernelCrfLearner(unary, base, gt, n_iterations=3)
+        v0 = learner._neg_obj_and_grad(1.0, np.eye(2))[0]
+        w, mat, best = learner.fit(1.0, np.eye(2), max_iter=15)
+        assert mat.shape == (2, 2)
+        assert best >= -v0 - 1e-6
+
+    def test_rejects_non_square(self):
+        from rovinasemanticsegmentation_tpu.models.crf_learning import (
+            FullKernelCrfLearner,
+        )
+
+        learner = FullKernelCrfLearner(
+            np.zeros((4, 2), np.float32),
+            np.zeros((4, 2), np.float32),
+            np.zeros(4, np.int32),
+        )
+        with pytest.raises(ValueError):
+            learner.fit(1.0, np.ones((2, 3)))
