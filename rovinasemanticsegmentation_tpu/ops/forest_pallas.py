@@ -156,7 +156,15 @@ def _descent_kernel(
     detours through the points-on-sublanes domain: f is up-converted with a
     one-hot matmul + static lane-gather, the feature chunks are lane-gathered
     there, and the scalar-per-point result reshapes back down ([tile, 1] ->
-    [S, 128] is a supported Mosaic relayout)."""
+    [S, 128] is a supported Mosaic relayout).
+
+    The level loop is OUTER and trees inner: all trees' feature indices at a
+    level pack into one [tile, 128] vector (tree t's index in lane t), so the
+    expensive [tile, 128]-domain feature gathers run once per level instead
+    of once per tree per level — measured 42 -> 29 ms for 76k points x 4
+    trees x 40k nodes on one v5e. (Rejected alternatives, measured: [tile,1]
+    column gathers — unsupported by Mosaic; one-hot compare/mult/reduce
+    fetch — 43 ms; chunk-sweep unroll x2 — 567 ms(!).)"""
     fmask = (1 << feat_bits) - 1
     s_rows = tile // LANES
 
@@ -168,16 +176,19 @@ def _descent_kernel(
     lane_of_p = (
         jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0) % LANES
     )  # static per-row lane index p % 128
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
 
-    for t in range(num_trees):
-        node = jnp.zeros((s_rows, LANES), jnp.int32)  # points on lanes
-
-        def level_body(l, node):
+    def level_body(l, nodes):
+        # Per tree: sweep the level's chunks for the node records (cheap
+        # [S, 128]-domain ops; the sweep over all levels touches each tree
+        # chunk exactly once).
+        metas, thrs = [], []
+        for t in range(num_trees):
             off_c = off_ref[t, l]  # chunk units
             n_chunks = nch_ref[t, l]
-            local = node - off_c * LANES
+            local = nodes[t] - off_c * LANES
 
-            def chunk_body(c, carry):
+            def chunk_body(c, carry, t=t, local=local, off_c=off_c):
                 meta_acc, thr_acc = carry
                 base = c * LANES
                 in_chunk = (local >= base) & (local < base + LANES)
@@ -196,41 +207,56 @@ def _descent_kernel(
 
             meta0 = jnp.zeros((s_rows, LANES), jnp.int32)
             thr0 = jnp.zeros((s_rows, LANES), jnp.float32)
-            meta, thr = jax.lax.fori_loop(
-                0, n_chunks, chunk_body, (meta0, thr0)
+            m, th = jax.lax.fori_loop(0, n_chunks, chunk_body, (meta0, thr0))
+            metas.append(m)
+            thrs.append(th)
+
+        # Up-convert every tree's f to the sublane domain in ONE matmul:
+        # row p of (e_mat @ f_stack) holds each tree's f-row p//128.
+        # precision=HIGHEST is load-bearing: the TPU default bf16 matmul
+        # rounds integer feature indices >= 257.
+        f_stack = jnp.concatenate(
+            [(m & fmask).astype(jnp.float32) for m in metas], axis=1
+        )  # [S, T * 128]
+        f_rows = jnp.dot(
+            e_mat, f_stack,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)  # [tile, T * 128]
+
+        # Pack: lane t of row p holds tree t's feature index for point p.
+        packed = jnp.zeros((tile, LANES), jnp.int32)
+        for t in range(num_trees):
+            f_rep = jnp.take_along_axis(
+                f_rows[:, t * LANES : (t + 1) * LANES], lane_of_p, axis=1
             )
+            packed = jnp.where(lane_id == t, f_rep, packed)
 
-            f = meta & fmask  # [S, 128]
-            lc = meta >> feat_bits
+        # x[p, f_p] for ALL trees at once: lane-gathers over the tile's
+        # feature chunks; column t of the result is tree t's lookup.
+        f_chunk = packed // LANES
+        f_lane = packed - f_chunk * LANES
+        x_pack = jnp.zeros((tile, LANES), jnp.float32)
+        for fc in range(feat_chunks):
+            chunk = feats_ref[:, pl.ds(fc * LANES, LANES)]
+            xc = jnp.take_along_axis(chunk, f_lane, axis=1)
+            x_pack = jnp.where(f_chunk == fc, xc, x_pack)
 
-            # Up-convert f to the sublane domain: row p of (e_mat @ f) is
-            # f's row p//128; the static lane-gather then puts f_p in every
-            # lane of row p. precision=HIGHEST is load-bearing: the TPU
-            # default bf16 matmul rounds integer feature indices >= 257.
-            f_rows = jnp.dot(
-                e_mat, f.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(jnp.int32)  # [tile, 128]
-            f_rep = jnp.take_along_axis(f_rows, lane_of_p, axis=1)
+        new_nodes = []
+        for t in range(num_trees):
+            # Down-convert tree t's per-point scalar to points-on-lanes.
+            x = x_pack[:, t : t + 1].reshape(s_rows, LANES)
+            lc = metas[t] >> feat_bits
+            nxt = lc + (x >= thrs[t]).astype(jnp.int32)
+            new_nodes.append(jnp.where(lc == 0, nodes[t], nxt))
+        return tuple(new_nodes)
 
-            # x[p, f_p]: lane-gathers over the tile's feature chunks.
-            f_chunk = f_rep // LANES
-            f_lane = f_rep - f_chunk * LANES
-            x_rep = jnp.zeros((tile, LANES), jnp.float32)
-            for fc in range(feat_chunks):
-                chunk = feats_ref[:, pl.ds(fc * LANES, LANES)]
-                xc = jnp.take_along_axis(chunk, f_lane, axis=1)
-                x_rep = jnp.where(f_chunk == fc, xc, x_rep)
-
-            # Down-convert the per-point scalar back to points-on-lanes.
-            x = x_rep[:, 0:1].reshape(s_rows, LANES)
-
-            nxt = lc + (x >= thr).astype(jnp.int32)
-            return jnp.where(lc == 0, node, nxt)
-
-        node = jax.lax.fori_loop(0, num_levels, level_body, node)
-        out_ref[:, pl.ds(t * LANES, LANES)] = node
+    nodes = tuple(
+        jnp.zeros((s_rows, LANES), jnp.int32) for _ in range(num_trees)
+    )
+    nodes = jax.lax.fori_loop(0, num_levels, level_body, nodes)
+    for t in range(num_trees):
+        out_ref[:, pl.ds(t * LANES, LANES)] = nodes[t]
 
 
 @partial(jax.jit, static_argnames=("num_levels", "feat_bits", "tile", "interpret"))
@@ -250,6 +276,9 @@ def find_leaves_pallas(
     interpret = interpret or jax.default_backend() != "tpu"
     p, d = features.shape
     t_count = meta.shape[0]
+    if t_count > LANES:
+        raise ValueError("descent kernel packs tree lookups on lanes; "
+                         f"num_trees must be <= {LANES}, got {t_count}")
     feat_chunks = -(-d // LANES)
     d_pad = feat_chunks * LANES
     p_pad = -(-p // tile) * tile
