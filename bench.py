@@ -88,8 +88,11 @@ def main() -> None:
     # they are consumed by the on-device unary accumulation; pulling them to
     # the host would add ~20MB of transfers per keyframe for nothing.
     res = pipeline.run(frames[0][0], frames[0][1], calib)
-    node = MapNodeFrames(pose=np.eye(4), posteriors=[list(res.posteriors)])
-    map_pipeline.run(cloud_pts, cloud_rgb, [node])
+    warm_nodes = [
+        MapNodeFrames(pose=np.eye(4), posteriors=[list(res.posteriors)])
+        for _ in range(MAP_EVERY)
+    ]
+    map_pipeline.run(cloud_pts, cloud_rgb, warm_nodes)
 
     start = time.perf_counter()
     posterior_buffer = []

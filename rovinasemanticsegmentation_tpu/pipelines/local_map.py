@@ -27,7 +27,11 @@ import numpy as np
 
 from ..fusion.projector import MultiProjector
 from ..fusion.unaries import accumulate_unaries
-from ..models.crf import exp_and_normalize, potts_mean_field
+from ..models.crf import (
+    exp_and_normalize,
+    potts_mean_field,
+    potts_mean_field_multi,
+)
 from ..models.lattice import build_lattice, lattice_filter, pad_lattice
 
 
@@ -81,6 +85,95 @@ def _crf_labels(
     return jnp.where(max_val > floor, lbl, jnp.int32(unknown_label))
 
 
+@partial(
+    jax.jit,
+    static_argnames=("blocks", "num_vertices", "n_iterations", "unknown_labels"),
+)
+def _crf_labels_multi(
+    unaries: jnp.ndarray,  # [N, sum(blocks)] all layers' unaries concatenated
+    offsets: jnp.ndarray,
+    barycentric: jnp.ndarray,
+    blur_n1: jnp.ndarray,
+    blur_n2: jnp.ndarray,
+    norm: jnp.ndarray,
+    weight: jnp.ndarray,
+    blocks: Tuple[int, ...],
+    num_vertices: int,
+    n_iterations: int,
+    unknown_labels: Tuple[int, ...],
+) -> Tuple[jnp.ndarray, ...]:
+    """All layers' labels from ONE fused mean-field (same math per layer as
+    :func:`_crf_labels`; the shared filter makes it ~2x cheaper). ``norm``
+    may be None — then the symmetric normalization is computed inline
+    (saves a round trip; pairwise.cpp:54-56)."""
+    if norm is None:
+        raw = lattice_filter(
+            jnp.ones((unaries.shape[0], 1), jnp.float32),
+            offsets, barycentric, blur_n1, blur_n2, num_vertices,
+        )[:, 0]
+        norm = 1.0 / jnp.sqrt(raw + 1e-20)
+    q = potts_mean_field_multi(
+        -unaries, offsets, barycentric, blur_n1, blur_n2, norm, weight,
+        blocks, num_vertices, n_iterations,
+    )
+    out = []
+    start = 0
+    for c, unk in zip(blocks, unknown_labels):
+        ql = q[:, start : start + c]
+        start += c
+        floor = jnp.float32(2.0 / c)
+        max_val = jnp.max(ql, axis=1)
+        lbl = jnp.argmax(ql, axis=1).astype(jnp.int32)
+        out.append(jnp.where(max_val > floor, lbl, jnp.int32(unk)))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "num_points"))
+def _fuse_nodes(
+    points: jnp.ndarray,  # [N, 3]
+    rot_inv: jnp.ndarray,  # [K, C3, 3, 3] per-node world->camera rotations
+    t_inv: jnp.ndarray,  # [K, C3, 3]
+    intrinsics: jnp.ndarray,  # [C3, 3, 3]
+    min_distance: jnp.ndarray,
+    max_distance: jnp.ndarray,
+    posteriors,  # pytree: tuple(K) of tuple(C3) of tuple(L) of [H, W, C_l]
+    height: int,
+    width: int,
+    num_points: int,
+) -> jnp.ndarray:  # [N, Ctot]
+    """All keyframe nodes' fusion in ONE dispatch (segmenter.cpp:561-626).
+
+    Per node: z-buffer projection + one scatter-add of every layer's
+    channels. The per-layer posteriors come in as a pytree and concatenate
+    INSIDE the jit: through the tunnel every host-dispatched op costs ~5 ms,
+    so host-side concat/stack loops dominated the fusion (~113 ms for work
+    whose device cost is ~35 ms). Missing frames are zero posteriors —
+    additively identical to skipping them (segmenter.cpp:618-621). The node
+    loop is unrolled (node counts are bucketed small by the caller).
+    """
+    from ..fusion.projector import project_zbuffer
+
+    k_nodes = len(posteriors)
+    ctot = sum(p.shape[-1] for p in posteriors[0][0])
+    fused = jnp.zeros((num_points + 1, ctot), jnp.float32)
+    for k in range(k_nodes):
+        _, idx = project_zbuffer(
+            points, rot_inv[k], t_inv[k], intrinsics,
+            min_distance, max_distance, height=height, width=width,
+        )
+        post = jnp.concatenate(
+            [
+                jnp.concatenate(list(cam_layers), axis=-1)
+                for cam_layers in posteriors[k]
+            ],
+            axis=0,
+        )  # [C3*H, W, Ctot]
+        idxf = idx.reshape(-1)
+        safe = jnp.where(idxf >= 0, idxf, num_points)
+        fused = fused.at[safe].add(post.reshape(-1, ctot))
+    return fused[:num_points]
+
+
 @partial(jax.jit, static_argnames=("unknown_label",))
 def _plain_labels(unaries: jnp.ndarray, unknown_label: int) -> jnp.ndarray:
     """Argmax with -1000 floor; all-zero rows -> Unknown (segmenter.cpp:659-682)."""
@@ -105,6 +198,7 @@ class LocalMapPipeline:
         self.class_counts = [int(c) for c in class_counts]
         self.unknown_labels = [int(u) for u in unknown_labels]
         self.crf = crf
+        self._zero_layers = None  # device zero posteriors, built lazily
 
     # ------------------------------------------------------------------
     def fuse_unaries(
@@ -112,23 +206,87 @@ class LocalMapPipeline:
         cloud_points: np.ndarray,  # [N, 3]
         nodes: Sequence[MapNodeFrames],
     ) -> List[jnp.ndarray]:
-        """Per-layer [N, C_l] unary accumulators (segmenter.cpp:561-626)."""
+        """Per-layer [N, C_l] unary accumulators (segmenter.cpp:561-626).
+
+        One dispatch for the whole map: every node's projection + one
+        scatter-add carrying ALL layers' channels (TPU scatter cost is per
+        row, not per element), then split per layer. The node count is
+        bucketed (padded with zero-posterior nodes) so maps of similar size
+        reuse the compiled fusion instead of recompiling per node count.
+        """
         n = cloud_points.shape[0]
-        unaries = [
-            jnp.zeros((n, c), jnp.float32) for c in self.class_counts
-        ]
-        h = self.projector.height
-        for node in nodes:
-            _, index_image = self.projector.project(cloud_points, node.pose)
-            for cam, layers in enumerate(node.posteriors):
-                if layers is None:
-                    continue  # missing frame: skip (segmenter.cpp:618-621)
-                cam_idx = index_image[cam * h : (cam + 1) * h]
-                for li, post in enumerate(layers):
-                    unaries[li] = accumulate_unaries(
-                        unaries[li], jnp.asarray(post), cam_idx, n
-                    )
+        proj = self.projector
+        rot, t, posts = self._prep_nodes(nodes)
+        fused = _fuse_nodes(
+            jnp.asarray(cloud_points, jnp.float32),
+            rot, t,
+            jnp.asarray(proj.intrinsics),
+            jnp.float32(proj.min_distance),
+            jnp.float32(proj.max_distance),
+            posts,
+            height=proj.height,
+            width=proj.width,
+            num_points=n,
+        )
+        unaries = []
+        start = 0
+        for c in self.class_counts:
+            unaries.append(fused[:, start : start + c])
+            start += c
         return unaries
+
+    def _prep_nodes(self, nodes: Sequence[MapNodeFrames]):
+        """Host prep: per-node world->camera transforms + posterior pytree,
+        bucketed in node count."""
+        proj = self.projector
+        h, w = proj.height, proj.width
+        ncam = proj.rotations_inv.shape[0]
+
+        # Bucket the node count: padded nodes carry zero posteriors,
+        # contributing nothing, and maps of similar size share one compiled
+        # fusion (exact sizes up to 6; waste bounded at ~33% beyond).
+        k = len(nodes)
+        ladder = (1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32)
+        bucket = next((b for b in ladder if b >= k), None)
+        if bucket is None:
+            bucket = ladder[-1]
+            while bucket < k:
+                bucket *= 2
+        if self._zero_layers is None:
+            self._zero_layers = tuple(
+                jnp.zeros((h, w, c), jnp.float32) for c in self.class_counts
+            )
+
+        rot_all, t_all, post_all = [], [], []
+        for ki in range(bucket):
+            node = nodes[ki] if ki < k else None
+            pose = np.eye(4, dtype=np.float32) if node is None else np.asarray(
+                node.pose, dtype=np.float32
+            )
+            rp = pose[:3, :3].T
+            tp = -rp @ pose[:3, 3]
+            rot_all.append(proj.rotations_inv @ rp[None])
+            t_all.append(
+                np.einsum("cij,j->ci", proj.rotations_inv, tp)
+                + proj.translations_inv
+            )
+            cams = []
+            for cam in range(ncam):
+                layers = None
+                if node is not None and cam < len(node.posteriors):
+                    layers = node.posteriors[cam]
+                if layers is None:
+                    # Missing frame: zero contribution (segmenter.cpp:618-621).
+                    cams.append(self._zero_layers)
+                else:
+                    cams.append(tuple(jnp.asarray(p) for p in layers))
+            post_all.append(tuple(cams))
+
+        return (
+            jnp.asarray(np.stack(rot_all).astype(np.float32)),
+            jnp.asarray(np.stack(t_all).astype(np.float32)),
+            tuple(post_all),
+        )
 
     def label_map(
         self,
@@ -151,24 +309,20 @@ class LocalMapPipeline:
             # Bucket the vertex count so repeated maps reuse the compiled
             # mean-field (M varies per map; static shapes would recompile).
             lattice = pad_lattice(build_lattice(feats))
-            offsets = jnp.asarray(lattice.offsets)
-            bary = jnp.asarray(lattice.barycentric)
-            n1 = jnp.asarray(lattice.blur_n1)
-            n2 = jnp.asarray(lattice.blur_n2)
-            ones = jnp.ones((feats.shape[0], 1), jnp.float32)
-            raw = lattice_filter(ones, offsets, bary, n1, n2, lattice.num_vertices)[
-                :, 0
-            ]
-            norm = 1.0 / jnp.sqrt(raw + 1e-20)  # symmetric (pairwise.cpp:54-56)
-            for li, unary in enumerate(unaries):
-                lbl = _crf_labels(
-                    unary, offsets, bary, n1, n2, norm,
-                    jnp.float32(self.crf.kernel_weight),
-                    lattice.num_vertices,
-                    self.crf.iterations,
-                    self.class_counts[li],
-                    self.unknown_labels[li],
-                )
+            labels = _crf_labels_multi(
+                jnp.concatenate(list(unaries), axis=1),
+                jnp.asarray(lattice.offsets),
+                jnp.asarray(lattice.barycentric),
+                jnp.asarray(lattice.blur_n1),
+                jnp.asarray(lattice.blur_n2),
+                None,  # norm computed inline (one fewer round trip)
+                jnp.float32(self.crf.kernel_weight),
+                tuple(self.class_counts),
+                lattice.num_vertices,
+                self.crf.iterations,
+                tuple(self.unknown_labels),
+            )
+            for lbl in labels:
                 result.append(np.asarray(lbl).astype(np.uint8))
         else:
             for li, unary in enumerate(unaries):
@@ -182,5 +336,14 @@ class LocalMapPipeline:
         cloud_rgb: Optional[np.ndarray],
         nodes: Sequence[MapNodeFrames],
     ) -> List[np.ndarray]:
+        """Fusion + smoothing + labels for one map.
+
+        Two device dispatches on purpose: the fusion dispatch returns
+        immediately (device arrays, no sync), so the HOST lattice build —
+        the CRF's only host-side stage — overlaps the device fusion.
+        Collapsing everything into one dispatch was measured SLOWER
+        (~200 vs ~175 ms/map): it serializes the host prep ahead of all
+        device work.
+        """
         unaries = self.fuse_unaries(cloud_points, nodes)
         return self.label_map(cloud_points, cloud_rgb, unaries)

@@ -182,3 +182,52 @@ class TestLocalMapPipeline:
         hit = hit[hit >= 0]
         assert (labels[0][hit] == 1).all()
         assert (labels[1][hit] == 2).all()
+
+
+class TestFusedLayers:
+    def test_multi_mean_field_matches_per_layer(self):
+        """The fused multi-layer mean-field equals per-layer runs exactly."""
+        import jax.numpy as jnp
+        from rovinasemanticsegmentation_tpu.models.crf import (
+            potts_mean_field,
+            potts_mean_field_multi,
+        )
+        from rovinasemanticsegmentation_tpu.models.lattice import (
+            build_lattice,
+            lattice_filter,
+            pad_lattice,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 300
+        feats = rng.normal(size=(n, 4)).astype(np.float32)
+        lat = pad_lattice(build_lattice(feats))
+        offsets = jnp.asarray(lat.offsets)
+        bary = jnp.asarray(lat.barycentric)
+        n1 = jnp.asarray(lat.blur_n1)
+        n2 = jnp.asarray(lat.blur_n2)
+        raw = lattice_filter(
+            jnp.ones((n, 1)), offsets, bary, n1, n2, lat.num_vertices
+        )[:, 0]
+        norm = 1.0 / jnp.sqrt(raw + 1e-20)
+        w = jnp.float32(3.0)
+        blocks = (4, 6)
+        u = rng.normal(size=(n, sum(blocks))).astype(np.float32)
+        fused = np.asarray(
+            potts_mean_field_multi(
+                jnp.asarray(u), offsets, bary, n1, n2, norm, w,
+                blocks, lat.num_vertices, 5,
+            )
+        )
+        start = 0
+        for c in blocks:
+            single = np.asarray(
+                potts_mean_field(
+                    jnp.asarray(u[:, start : start + c]),
+                    offsets, bary, n1, n2, norm, w, lat.num_vertices, 5,
+                )
+            )
+            np.testing.assert_allclose(
+                fused[:, start : start + c], single, rtol=1e-6, atol=1e-7
+            )
+            start += c
