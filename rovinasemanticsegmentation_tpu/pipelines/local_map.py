@@ -293,8 +293,10 @@ class LocalMapPipeline:
         cloud_points: np.ndarray,  # [N, 3]
         cloud_rgb: Optional[np.ndarray],  # [N, 3] in [0, 1] (fps_mapper style)
         unaries: Sequence[jnp.ndarray],
+        as_numpy: bool = True,
     ) -> List[np.ndarray]:
-        """Per-layer uint8 point labels (segmenter.cpp:627-682)."""
+        """Per-layer point labels (segmenter.cpp:627-682); uint8 numpy by
+        default, device int32 arrays (no sync) with ``as_numpy=False``."""
         result: List[np.ndarray] = []
         if self.crf.use_dense_crf:
             if cloud_rgb is None:
@@ -323,11 +325,15 @@ class LocalMapPipeline:
                 tuple(self.unknown_labels),
             )
             for lbl in labels:
-                result.append(np.asarray(lbl).astype(np.uint8))
+                result.append(
+                    np.asarray(lbl).astype(np.uint8) if as_numpy else lbl
+                )
         else:
             for li, unary in enumerate(unaries):
                 lbl = _plain_labels(unary, self.unknown_labels[li])
-                result.append(np.asarray(lbl).astype(np.uint8))
+                result.append(
+                    np.asarray(lbl).astype(np.uint8) if as_numpy else lbl
+                )
         return result
 
     def run(
@@ -345,5 +351,22 @@ class LocalMapPipeline:
         (~200 vs ~175 ms/map): it serializes the host prep ahead of all
         device work.
         """
+        return [
+            np.asarray(lbl).astype(np.uint8)
+            for lbl in self.run_device(cloud_points, cloud_rgb, nodes)
+        ]
+
+    def run_device(
+        self,
+        cloud_points: np.ndarray,
+        cloud_rgb: Optional[np.ndarray],
+        nodes: Sequence[MapNodeFrames],
+    ) -> List[jnp.ndarray]:
+        """Like :func:`run` but returns per-layer label arrays ON DEVICE
+        without synchronizing — the serving analogue of the reference's
+        map-fusion worker thread (segmenter.cpp:518), letting callers
+        overlap map smoothing with subsequent keyframe work."""
         unaries = self.fuse_unaries(cloud_points, nodes)
-        return self.label_map(cloud_points, cloud_rgb, unaries)
+        return self.label_map(
+            cloud_points, cloud_rgb, unaries, as_numpy=False
+        )
