@@ -162,9 +162,12 @@ def _descent_kernel(
     level pack into one [tile, 128] vector (tree t's index in lane t), so the
     expensive [tile, 128]-domain feature gathers run once per level instead
     of once per tree per level — measured 42 -> 29 ms for 76k points x 4
-    trees x 40k nodes on one v5e. (Rejected alternatives, measured: [tile,1]
-    column gathers — unsupported by Mosaic; one-hot compare/mult/reduce
-    fetch — 43 ms; chunk-sweep unroll x2 — 567 ms(!).)"""
+    trees x 40k nodes on one v5e. The level loop is a while_loop that exits
+    as soon as every point of the tile sits on a leaf in every tree (most
+    leaves live around depth log2(nodes) ~ 15-17, far above max_depth=30;
+    29 -> 22 ms). (Rejected alternatives, measured: [tile,1] column
+    gathers — unsupported by Mosaic; one-hot compare/mult/reduce fetch —
+    43 ms; chunk-sweep unroll x2 — 567 ms(!).)"""
     fmask = (1 << feat_bits) - 1
     s_rows = tile // LANES
 
@@ -178,7 +181,12 @@ def _descent_kernel(
     )  # static per-row lane index p % 128
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
 
-    def level_body(l, nodes):
+    def level_cond(state):
+        l, active, _ = state
+        return (l < num_levels) & (active > 0)
+
+    def level_body(state):
+        l, _, nodes = state
         # Per tree: sweep the level's chunks for the node records (cheap
         # [S, 128]-domain ops; the sweep over all levels touches each tree
         # chunk exactly once).
@@ -243,18 +251,22 @@ def _descent_kernel(
             x_pack = jnp.where(f_chunk == fc, xc, x_pack)
 
         new_nodes = []
+        moving = jnp.zeros((s_rows, LANES), jnp.int32)
         for t in range(num_trees):
             # Down-convert tree t's per-point scalar to points-on-lanes.
             x = x_pack[:, t : t + 1].reshape(s_rows, LANES)
             lc = metas[t] >> feat_bits
             nxt = lc + (x >= thrs[t]).astype(jnp.int32)
+            moving = moving | (lc != 0).astype(jnp.int32)
             new_nodes.append(jnp.where(lc == 0, nodes[t], nxt))
-        return tuple(new_nodes)
+        return (l + 1, jnp.sum(moving), tuple(new_nodes))
 
     nodes = tuple(
         jnp.zeros((s_rows, LANES), jnp.int32) for _ in range(num_trees)
     )
-    nodes = jax.lax.fori_loop(0, num_levels, level_body, nodes)
+    _, _, nodes = jax.lax.while_loop(
+        level_cond, level_body, (jnp.int32(0), jnp.int32(1), nodes)
+    )
     for t in range(num_trees):
         out_ref[:, pl.ds(t * LANES, LANES)] = nodes[t]
 
