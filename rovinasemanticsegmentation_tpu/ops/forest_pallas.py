@@ -185,39 +185,50 @@ def _descent_kernel(
         l, active, _ = state
         return (l < num_levels) & (active > 0)
 
+    max_chunk_idx = meta_ref.shape[1] - 1
+
     def level_body(state):
         l, _, nodes = state
-        # Per tree: sweep the level's chunks for the node records (cheap
-        # [S, 128]-domain ops; the sweep over all levels touches each tree
-        # chunk exactly once).
-        metas, thrs = [], []
-        for t in range(num_trees):
-            off_c = off_ref[t, l]  # chunk units
-            n_chunks = nch_ref[t, l]
-            local = nodes[t] - off_c * LANES
+        # Sweep the level's chunks for the node records (cheap [S, 128]-
+        # domain ops; the sweep over all levels touches each tree chunk
+        # exactly once). ONE loop serves all trees — Mosaic's per-iteration
+        # loop overhead (~140 cycles) dwarfs the ~30 cycles of vector work
+        # per tree, so sharing it across trees cut the sweep 13 -> 5 ms.
+        # A tree whose level is narrower than the widest one reads a
+        # clamped row; no point's local index selects it (masked).
+        offs = [off_ref[t, l] for t in range(num_trees)]
+        locals_ = [nodes[t] - offs[t] * LANES for t in range(num_trees)]
+        max_chunks = nch_ref[0, l]
+        for t in range(1, num_trees):
+            max_chunks = jnp.maximum(max_chunks, nch_ref[t, l])
 
-            def chunk_body(c, carry, t=t, local=local, off_c=off_c):
-                meta_acc, thr_acc = carry
-                base = c * LANES
+        def chunk_body(c, carry):
+            out = list(carry)
+            base = c * LANES
+            for t in range(num_trees):
+                local = locals_[t]
                 in_chunk = (local >= base) & (local < base + LANES)
                 r = jnp.clip(local - base, 0, LANES - 1)
+                row = jnp.minimum(offs[t] + c, max_chunk_idx)
                 chunk_m = jnp.broadcast_to(
-                    meta_ref[t, off_c + c, :].reshape(1, LANES), (s_rows, LANES)
+                    meta_ref[t, row, :].reshape(1, LANES), (s_rows, LANES)
                 )
                 chunk_t = jnp.broadcast_to(
-                    thr_ref[t, off_c + c, :].reshape(1, LANES), (s_rows, LANES)
+                    thr_ref[t, row, :].reshape(1, LANES), (s_rows, LANES)
                 )
                 g_m = jnp.take_along_axis(chunk_m, r, axis=1)
                 g_t = jnp.take_along_axis(chunk_t, r, axis=1)
-                meta_acc = jnp.where(in_chunk, g_m, meta_acc)
-                thr_acc = jnp.where(in_chunk, g_t, thr_acc)
-                return meta_acc, thr_acc
+                out[2 * t] = jnp.where(in_chunk, g_m, out[2 * t])
+                out[2 * t + 1] = jnp.where(in_chunk, g_t, out[2 * t + 1])
+            return tuple(out)
 
-            meta0 = jnp.zeros((s_rows, LANES), jnp.int32)
-            thr0 = jnp.zeros((s_rows, LANES), jnp.float32)
-            m, th = jax.lax.fori_loop(0, n_chunks, chunk_body, (meta0, thr0))
-            metas.append(m)
-            thrs.append(th)
+        init = []
+        for _ in range(num_trees):
+            init.append(jnp.zeros((s_rows, LANES), jnp.int32))
+            init.append(jnp.zeros((s_rows, LANES), jnp.float32))
+        swept = jax.lax.fori_loop(0, max_chunks, chunk_body, tuple(init))
+        metas = [swept[2 * t] for t in range(num_trees)]
+        thrs = [swept[2 * t + 1] for t in range(num_trees)]
 
         # Up-convert every tree's f to the sublane domain in ONE matmul:
         # row p of (e_mat @ f_stack) holds each tree's f-row p//128.
