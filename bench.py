@@ -28,6 +28,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persist compiled executables across processes: remote compiles take
+    # 30s-minutes each, and the first post-compile run measures low.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ccache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from rovinasemanticsegmentation_tpu.features.extractor import FeatureConfig
     from rovinasemanticsegmentation_tpu.fusion.projector import MultiProjector
     from rovinasemanticsegmentation_tpu.models.forest import random_forest

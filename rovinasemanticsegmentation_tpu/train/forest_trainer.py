@@ -254,23 +254,33 @@ def _grow_tree(
 
     while frontier:
         f_count = len(frontier)
-        # Map tree-node id -> frontier slot (inactive -> f_count).
-        node_to_slot = np.full(len(tree.split_feature), f_count, np.int32)
+        # Bucket the frontier-slot count to a power of two: the jitted level
+        # steps are specialized on num_segments, and without bucketing every
+        # level of every tree forces a fresh compile (minutes each through a
+        # remote-compile backend). Padded slots have no member examples, so
+        # every real slot's result is bit-identical.
+        f_pad = 1 << (((f_count - 1).bit_length() + 1) // 2 * 2)  # power of 4
+        # Map tree-node id -> frontier slot (inactive -> f_pad).
+        node_to_slot = np.full(len(tree.split_feature), f_pad, np.int32)
         for s, n in enumerate(frontier):
             node_to_slot[n] = s
         seg = jnp.take(jnp.asarray(node_to_slot), node_of)
 
-        # Random layer per frontier node (learning.cpp:489-493).
+        # Random layer per frontier node (learning.cpp:489-493). The rng
+        # stream draws exactly f_count values, as before bucketing.
         layers = rng.integers(0, num_layers, size=f_count).astype(np.int32)
-        layer_of = jnp.take(jnp.asarray(layers), jnp.minimum(seg, f_count - 1))
+        layers_pad = np.concatenate(
+            [layers, np.zeros(f_pad - f_count, np.int32)]
+        )
+        layer_of = jnp.take(jnp.asarray(layers_pad), jnp.minimum(seg, f_pad - 1))
         cls = jnp.take_along_axis(y_dev, layer_of[:, None], axis=1)[:, 0]
-        cls = jnp.where(seg < f_count, cls, 0)
+        cls = jnp.where(seg < f_pad, cls, 0)
 
         mass, distinct = node_stats_step(
-            seg, y_dev, f_count, num_classes, num_layers
+            seg, y_dev, f_pad, num_classes, num_layers
         )
-        mass = np.asarray(mass)
-        distinct = np.asarray(distinct)
+        mass = np.asarray(mass)[:f_count]
+        distinct = np.asarray(distinct)[:f_count]
 
         # Stop conditions (learning.cpp:521-531).
         searchable = np.ones(f_count, bool)
@@ -279,11 +289,15 @@ def _grow_tree(
             if mass[s] < cfg.min_split_examples or pure or tree.depth[n] > cfg.max_depth:
                 searchable[s] = False
 
-        # Feature sampling without replacement per node (:543-546).
+        # Feature sampling without replacement per node (:543-546); rng
+        # draws exactly f_count permutations, padding rows are zeros.
         feats = np.stack(
             [rng.permutation(d)[:k] for _ in range(f_count)]
         ).astype(np.int32)  # [F, k]
-        feats_dev = jnp.asarray(feats)
+        feats_pad = np.concatenate(
+            [feats, np.zeros((f_pad - f_count, k), np.int32)]
+        )
+        feats_dev = jnp.asarray(feats_pad)
 
         best = np.full(f_count, np.inf, np.float32)
         best_thr = np.zeros(f_count, np.float32)
@@ -291,23 +305,25 @@ def _grow_tree(
         best_lmass = np.zeros(f_count, np.float32)
         best_rmass = np.zeros(f_count, np.float32)
 
+        searchable_pad = np.zeros(f_pad, np.int32)
+        searchable_pad[:f_count] = searchable.astype(np.int32)
         seg_search = jnp.where(
-            jnp.take(jnp.asarray(searchable.astype(np.int32)),
-                     jnp.minimum(seg, f_count - 1)) * (seg < f_count).astype(jnp.int32) > 0,
+            jnp.take(jnp.asarray(searchable_pad),
+                     jnp.minimum(seg, f_pad - 1)) * (seg < f_pad).astype(jnp.int32) > 0,
             seg,
-            f_count,
+            f_pad,
         )
 
         # One fused device step searches all K feature slots (vmapped over
         # slots); earlier feature wins ties via strict < in slot order, like
         # the reference's sequential sweep (:588).
         obj_k, thr_k, lm_k, rm_k = multi_slot_split_search(
-            x, feats_dev, seg, seg_search, cls, f_count, num_classes
+            x, feats_dev, seg, seg_search, cls, f_pad, num_classes
         )
-        obj_k = np.asarray(obj_k)  # [K, F]
-        thr_k = np.asarray(thr_k)
-        lm_k = np.asarray(lm_k)
-        rm_k = np.asarray(rm_k)
+        obj_k = np.asarray(obj_k)[:, :f_count]  # [K, F]
+        thr_k = np.asarray(thr_k)[:, :f_count]
+        lm_k = np.asarray(lm_k)[:, :f_count]
+        rm_k = np.asarray(rm_k)[:, :f_count]
         for slot in range(k):
             improve = obj_k[slot] < best
             best_thr = np.where(improve, thr_k[slot], best_thr)
@@ -338,14 +354,22 @@ def _grow_tree(
             any_split = True
 
         if any_split:
+            # Bucket the node-table length too (same recompile concern).
             nn = len(tree.split_feature)
-            feat_per_example = jnp.take(jnp.asarray(feat_of[:nn]), node_of)
+            nn_pad = 1 << (((nn - 1).bit_length() + 1) // 2 * 2)  # power of 4
+            feat_tab = np.zeros(nn_pad, np.int32)
+            feat_tab[:nn] = feat_of[:nn]
+            thr_tab = np.zeros(nn_pad, np.float32)
+            thr_tab[:nn] = thr_of[:nn]
+            left_tab = np.zeros(nn_pad, np.int32)
+            left_tab[:nn] = left_of[:nn]
+            feat_per_example = jnp.take(jnp.asarray(feat_tab), node_of)
             x_vals = jnp.take_along_axis(x, feat_per_example[:, None], axis=1)[:, 0]
             node_of = partition_step(
                 node_of,
                 x_vals,
-                jnp.asarray(thr_of[:nn]),
-                jnp.asarray(left_of[:nn]),
+                jnp.asarray(thr_tab),
+                jnp.asarray(left_tab),
             )
         frontier = new_frontier
 

@@ -1,0 +1,76 @@
+"""Forest-training throughput on one TPU chip.
+
+The reference's training instrument is "Finished forest in N s" over 8 CPU
+threads (/root/reference/third-party/libforest/src/learning.cpp:1105,
+/root/reference/src/train.cpp:239). This measures the TPU-native trainer
+(breadth-first batched exact split search, train/forest_trainer.py) on a
+synthetic multi-label dataset shaped like one training run's worth of
+extracted features.
+
+Usage: python scripts/bench_train.py [n_points] [n_trees]
+Prints one JSON line {"metric": "train_points_per_sec", ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    trees = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    import jax
+
+    # Persist compiled executables across processes: the trainer's level
+    # steps span ~20 bucketed shapes, each a slow remote compile.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ccache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rovinasemanticsegmentation_tpu.train.forest_trainer import (
+        ForestTrainer,
+        TrainerConfig,
+    )
+
+    rng = np.random.default_rng(0)
+    d = 366
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    # Labels correlated with features so splits do real work.
+    labels = np.stack(
+        [
+            (feats[:, :8].argmax(axis=1)).astype(np.int32),
+            (feats[:, 8:17].argmax(axis=1)).astype(np.int32),
+        ],
+        axis=1,
+    )
+    cfg = TrainerConfig(num_trees=trees, max_depth=30, min_split_examples=50)
+    trainer = ForestTrainer(cfg)
+
+    start = time.perf_counter()
+    forest = trainer.learn(
+        feats, labels, class_counts=[8, 9], progress=False
+    )
+    elapsed = time.perf_counter() - start
+    nodes = sum(
+        len(forest.tree_view(t).split_feature) for t in range(trees)
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_points_per_sec",
+                "value": round(n * trees / elapsed, 1),
+                "unit": f"point-trees/s ({trees} trees, {n} pts, "
+                f"{nodes} nodes, {elapsed:.1f}s)",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
