@@ -180,6 +180,46 @@ def multi_slot_split_search(
     return jax.vmap(one_slot)(feats.T)  # each output [K, F]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_segments", "num_classes", "num_layers"),
+)
+def level_search_step(
+    x: jnp.ndarray,  # [Ns, D]
+    feats: jnp.ndarray,  # [F, K]
+    seg: jnp.ndarray,  # [Ns]
+    cls: jnp.ndarray,  # [Ns]
+    labels: jnp.ndarray,  # [Ns, L]
+    layers: jnp.ndarray,  # [F] chosen layer per slot
+    depth_ok: jnp.ndarray,  # [F] bool: depth <= max_depth per slot
+    min_split: jnp.ndarray,  # scalar
+    num_segments: int,
+    num_classes: int,
+    num_layers: int,
+):
+    """ONE dispatch per level: node stats + stop checks + the K-slot split
+    search. The stop conditions (learning.cpp:521-531) move onto the device
+    so the level needs a single host round trip instead of two — per-level
+    syncs dominate training wall time through a high-latency backend."""
+    mass, distinct = node_stats_step(
+        seg, labels, num_segments, num_classes, num_layers
+    )
+    layer_distinct = jnp.take_along_axis(distinct, layers[:, None], axis=1)[
+        :, 0
+    ]
+    searchable = (mass >= min_split) & (layer_distinct > 1) & depth_ok  # [F]
+    seg_search = jnp.where(
+        jnp.take(searchable, jnp.minimum(seg, num_segments - 1))
+        & (seg < num_segments),
+        seg,
+        num_segments,
+    )
+    obj_k, thr_k, lm_k, rm_k = multi_slot_split_search(
+        x, feats, seg, seg_search, cls, num_segments, num_classes
+    )
+    return searchable, obj_k, thr_k, lm_k, rm_k
+
+
 @partial(jax.jit, static_argnames=("num_segments", "num_classes", "num_layers"))
 def node_stats_step(
     seg: jnp.ndarray,  # [Ns]
@@ -276,19 +316,6 @@ def _grow_tree(
         cls = jnp.take_along_axis(y_dev, layer_of[:, None], axis=1)[:, 0]
         cls = jnp.where(seg < f_pad, cls, 0)
 
-        mass, distinct = node_stats_step(
-            seg, y_dev, f_pad, num_classes, num_layers
-        )
-        mass = np.asarray(mass)[:f_count]
-        distinct = np.asarray(distinct)[:f_count]
-
-        # Stop conditions (learning.cpp:521-531).
-        searchable = np.ones(f_count, bool)
-        for s, n in enumerate(frontier):
-            pure = distinct[s, layers[s]] <= 1
-            if mass[s] < cfg.min_split_examples or pure or tree.depth[n] > cfg.max_depth:
-                searchable[s] = False
-
         # Feature sampling without replacement per node (:543-546); rng
         # draws exactly f_count permutations, padding rows are zeros.
         feats = np.stack(
@@ -305,21 +332,22 @@ def _grow_tree(
         best_lmass = np.zeros(f_count, np.float32)
         best_rmass = np.zeros(f_count, np.float32)
 
-        searchable_pad = np.zeros(f_pad, np.int32)
-        searchable_pad[:f_count] = searchable.astype(np.int32)
-        seg_search = jnp.where(
-            jnp.take(jnp.asarray(searchable_pad),
-                     jnp.minimum(seg, f_pad - 1)) * (seg < f_pad).astype(jnp.int32) > 0,
-            seg,
-            f_pad,
-        )
+        # Stop conditions (learning.cpp:521-531) evaluate on device inside
+        # the single fused level step; depth is host knowledge per slot.
+        depth_ok = np.zeros(f_pad, bool)
+        for s, n in enumerate(frontier):
+            depth_ok[s] = tree.depth[n] <= cfg.max_depth
 
-        # One fused device step searches all K feature slots (vmapped over
-        # slots); earlier feature wins ties via strict < in slot order, like
-        # the reference's sequential sweep (:588).
-        obj_k, thr_k, lm_k, rm_k = multi_slot_split_search(
-            x, feats_dev, seg, seg_search, cls, f_pad, num_classes
+        # One fused device step: node stats + stop checks + all K feature
+        # slots (vmapped); earlier feature wins ties via strict < in slot
+        # order, like the reference's sequential sweep (:588).
+        searchable, obj_k, thr_k, lm_k, rm_k = level_search_step(
+            x, feats_dev, seg, cls, y_dev,
+            jnp.asarray(layers_pad), jnp.asarray(depth_ok),
+            jnp.float32(cfg.min_split_examples),
+            f_pad, num_classes, num_layers,
         )
+        searchable = np.asarray(searchable)[:f_count]
         obj_k = np.asarray(obj_k)[:, :f_count]  # [K, F]
         thr_k = np.asarray(thr_k)[:, :f_count]
         lm_k = np.asarray(lm_k)[:, :f_count]
