@@ -54,12 +54,29 @@ def main() -> None:
         translation=np.zeros(3),
     )
     # Reference cost drivers: 4 trees, depth <= 30, 366-dim features,
-    # stride-2 grid (resources/config.json:37-39,87); trained trees at
-    # minSplit=50 land around tens of thousands of nodes.
-    forest = random_forest(
-        rng, num_trees=4, depth=30, num_features=366,
-        class_counts=[8, 9], max_nodes=40001,
-    )
+    # stride-2 grid (resources/config.json:37-39,87). A TRAINED fixture
+    # forest (scripts/make_bench_forest.py) drives realistic leaf-depth
+    # and node-count distributions through the descent kernel's early
+    # exit; the random forest is only the fallback if the fixture is
+    # missing.
+    import os
+    import sys
+
+    from rovinasemanticsegmentation_tpu.models.forest import load_forest
+
+    fixture = os.path.join(os.path.dirname(__file__), "resources",
+                           "bench_forest.dat")
+    if os.path.exists(fixture):
+        forest = load_forest(fixture, class_counts=[8, 9])
+        print(f"bench forest: trained fixture, nodes/tree="
+              f"{forest.node_counts}", file=sys.stderr)
+    else:
+        forest = random_forest(
+            rng, num_trees=4, depth=30, num_features=366,
+            class_counts=[8, 9], max_nodes=40001,
+        )
+        print("bench forest: random fallback (fixture missing)",
+              file=sys.stderr)
     pipeline = SingleFramePipeline(
         FeatureConfig(), forest, stride=2, fill_value=0.0
     )
@@ -122,10 +139,14 @@ def main() -> None:
     # Warmup/compile both paths. Posteriors stay on device end to end —
     # they are consumed by the on-device unary accumulation; pulling them to
     # the host would add ~20MB of transfers per keyframe for nothing.
-    res = pipeline.run(frames[0][0], frames[0][1], calib)
+    warm = pipeline.run_batch(
+        [f[0] for f in frames[:MAP_EVERY]],
+        [f[1] for f in frames[:MAP_EVERY]],
+        [calib] * MAP_EVERY,
+    )
     warm_nodes = [
-        MapNodeFrames(pose=np.eye(4), posteriors=[list(res.posteriors)])
-        for _ in range(MAP_EVERY)
+        MapNodeFrames(pose=np.eye(4), posteriors=[list(r.posteriors)])
+        for r in warm
     ]
     map_pipeline.run(cloud_pts, cloud_rgb, warm_nodes)
 
@@ -136,32 +157,37 @@ def main() -> None:
     # the map's host-side stage (~50 ms native lattice build + dispatch)
     # runs off the keyframe path.
     fusion_worker = ThreadPoolExecutor(max_workers=1)
+    calibs = [calib] * MAP_EVERY
     for epoch in range(N_EPOCHS):
         start = time.perf_counter()
-        posterior_buffer = []
         pending = []
         # Every epoch uses fresh frame contents and a shifted cloud (the
-        # runtime memoizes identical executions).
-        for i, (f_rgb, f_depth) in enumerate(frames_by_epoch[epoch]):
-            res = pipeline.run(f_rgb, f_depth, calib)
-            posterior_buffer.append(list(res.posteriors))
-            if len(posterior_buffer) == MAP_EVERY:
-                nodes = [
-                    MapNodeFrames(pose=np.eye(4), posteriors=[p])
-                    for p in posterior_buffer
-                ]
-                pending.append(
-                    fusion_worker.submit(
-                        map_pipeline.run_device,
-                        cloud_pts + maps_done * 0.001, cloud_rgb, nodes,
-                    )
+        # runtime memoizes identical executions). MAP_EVERY keyframes ride
+        # ONE batched dispatch (DP over keyframes, SURVEY.md 2.5), then
+        # feed one local map on the fusion worker thread.
+        frames = frames_by_epoch[epoch]
+        for i in range(0, N_KEYFRAMES, MAP_EVERY):
+            chunk = frames[i : i + MAP_EVERY]
+            results = pipeline.run_batch(
+                [f[0] for f in chunk], [f[1] for f in chunk], calibs
+            )
+            nodes = [
+                MapNodeFrames(pose=np.eye(4), posteriors=[list(r.posteriors)])
+                for r in results
+            ]
+            pending.append(
+                fusion_worker.submit(
+                    map_pipeline.run_device,
+                    cloud_pts + maps_done * 0.001, cloud_rgb, nodes,
                 )
-                maps_done += 1
-                posterior_buffer = []
-        # All work must COMPLETE inside the timed region.
+            )
+            maps_done += 1
+        # All work must COMPLETE inside the timed region — and results
+        # must be MATERIALIZED: block_until_ready alone returns early
+        # while remote compiles are pending (see ROADMAP.md).
         for fut in pending:
             for l in fut.result():
-                jax.block_until_ready(l)
+                np.asarray(l)
         elapsed = time.perf_counter() - start
         kf_per_sec = max(kf_per_sec, N_KEYFRAMES / elapsed)
     fusion_worker.shutdown()

@@ -151,9 +151,13 @@ def _extract_impl(
         lab = rgb_to_lab8(rgb)  # BGR2Lab-on-RGB quirk preserved
         padded = reflect_pad_image(lab, patch_size)
         # Three bit-exact implementations exist (ops/patches*.py); the
-        # Pallas block-local kernel wins on TPU, the dense-slice scan on CPU.
+        # Pallas block-local kernel wins on TPU, the dense-slice scan on
+        # CPU. The kernel's phase-split scratch layout needs the column
+        # phase count (= stride) to divide the 8-sublane tile, so odd
+        # strides (e.g. the training stride 5, config.json:33) take the
+        # scan path.
         depth_grid = jnp.where(mask, depth_m, 0.0).reshape(gys.size, gxs.size)
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and stride in (1, 2, 4, 8):
             patches = extract_patches_pallas(
                 padded, depth_grid,
                 patch_size=patch_size, reduce_size=reduce_size, stride=stride,

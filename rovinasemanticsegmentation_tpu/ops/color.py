@@ -9,13 +9,17 @@ reference quirks preserved here:
    arrive RGB) while the conversion code is ``BGR2Lab`` — so OpenCV treats the
    red channel as blue and vice versa. :func:`rgb_to_lab8` reproduces exactly
    that channel assignment (pass ``swap=False`` for a true RGB2Lab).
-2. ``CV_BGR2Lab`` on 8-bit inputs applies the sRGB gamma (OpenCV's
-   non-``L``-prefixed Lab codes are gamma-corrected) and quantizes
-   ``L*255/100``, ``a+128``, ``b+128`` to uint8.
+2. ``CV_BGR2Lab`` on 8-bit inputs runs OpenCV's fixed-point table pipeline
+   (``modules/imgproc/src/color_lab.cpp``): a 256-entry sRGB-gamma table
+   scaled by ``255 << 3``, a 12-bit integer XYZ matrix with the white point
+   folded into the X/Z rows, a 3072-entry cube-root table scaled by
+   ``1 << 15``, and ``CV_DESCALE`` round-half-up shifts.
 
-This implementation computes the D65 float pipeline and rounds; OpenCV's
-fixed-point table path may differ by at most 1 LSB on a few values, which is
-covered by the feature-parity tolerance tests.
+This implementation reproduces that integer pipeline with the tables
+precomputed in float32 (OpenCV builds them in softfloat single precision).
+**Verified bit-exact against cv2 over all 256^3 inputs** in this
+environment's OpenCV 5.0 (see tests/test_cv2_oracle.py); the round-1
+float-path implementation differed by up to 2 LSB and was replaced.
 
 Brightness augmentation mirrors ``color += a`` saturation arithmetic on
 cv::Mat (``src/train.cpp:115-124``).
@@ -24,23 +28,71 @@ cv::Mat (``src/train.cpp:115-124``).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+
+_LAB_SHIFT = 12  # color_lab.cpp lab_shift
+_GAMMA_SHIFT = 3
+_LAB_SHIFT2 = _LAB_SHIFT + _GAMMA_SHIFT
 
 # OpenCV D65 RGB->XYZ matrix (modules/imgproc/src/color_lab.cpp).
-_XYZ_FROM_RGB = (
-    (0.412453, 0.357580, 0.180423),
-    (0.212671, 0.715160, 0.072169),
-    (0.019334, 0.119193, 0.950227),
+_XYZ_FROM_RGB = np.array(
+    [
+        (0.412453, 0.357580, 0.180423),
+        (0.212671, 0.715160, 0.072169),
+        (0.019334, 0.119193, 0.950227),
+    ]
 )
-_XN = 0.950456
-_ZN = 1.088754
+_D65 = np.array([0.950456, 1.0, 1.088754])
 
 
-def _srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+def _build_tables():
+    """OpenCV initLabTabs() in float32 (softfloat single precision).
+
+    Table-construction precision matters: float64 tables differ from
+    OpenCV's on a handful of entries, which surfaced as 2-LSB output
+    diffs before the cv2 golden oracle caught it.
+    """
+    f255 = np.float32(255.0)
+    i = (np.arange(256, dtype=np.float32) / f255).astype(np.float32)
+    thresh = np.float32(809.0 / 20000.0)  # 0.04045 as OpenCV spells it
+    lo = (i / np.float32(12.92)).astype(np.float32)
+    hi = np.power(
+        (i + np.float32(0.055)) / np.float32(1.055), np.float32(2.4),
+        dtype=np.float32,
+    )
+    gamma = np.rint(np.float32(255 << _GAMMA_SHIFT) * np.where(i <= thresh, lo, hi))
+
+    n = (255 * 3 // 2 + 1) * (1 << _GAMMA_SHIFT)  # 3072
+    x = (np.arange(n, dtype=np.float32) / np.float32(255 << _GAMMA_SHIFT)).astype(
+        np.float32
+    )
+    flo = (x * np.float32(7.787) + np.float32(16.0 / 116.0)).astype(np.float32)
+    fhi = np.cbrt(x, dtype=np.float32)
+    cbrt = np.rint(
+        np.float32(1 << _LAB_SHIFT2)
+        * np.where(x < np.float32(0.008856), flo, fhi)
+    )
+
+    coeffs = np.zeros((3, 3), np.int32)
+    for row in range(3):
+        for col in range(3):
+            coeffs[row, col] = np.rint(
+                (1 << _LAB_SHIFT)
+                * np.float32(
+                    np.float32(_XYZ_FROM_RGB[row, col]) / np.float32(_D65[row])
+                )
+            )
+    return gamma.astype(np.int32), cbrt.astype(np.int32), coeffs
 
 
-def _lab_f(t: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+_GAMMA_TAB, _CBRT_TAB, _COEFFS = _build_tables()
+_L_SCALE = (116 * 255 + 50) // 100
+_L_SHIFT = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+
+
+def _descale(v: jnp.ndarray, n: int) -> jnp.ndarray:
+    """CV_DESCALE: round-half-up arithmetic shift."""
+    return (v + (1 << (n - 1))) >> n
 
 
 def rgb_to_lab8(image: jnp.ndarray, swap: bool = True) -> jnp.ndarray:
@@ -49,28 +101,29 @@ def rgb_to_lab8(image: jnp.ndarray, swap: bool = True) -> jnp.ndarray:
     With ``swap=True`` (default) channel 0 is fed to OpenCV's blue slot,
     reproducing the reference's BGR2Lab-on-RGB behavior
     (feature_extractor.h:129 applied to the RGB image of train.cpp:123).
+    Bit-exact with ``cv2.cvtColor(..., COLOR_BGR2Lab)``.
     """
-    img = image.astype(jnp.float32) / 255.0
+    img = image.astype(jnp.int32)
+    gamma = jnp.asarray(_GAMMA_TAB)
+    cbrt = jnp.asarray(_CBRT_TAB)
     if swap:
-        b, g, r = img[..., 0], img[..., 1], img[..., 2]
+        b8, g8, r8 = img[..., 0], img[..., 1], img[..., 2]
     else:
-        r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    r, g, b = _srgb_to_linear(r), _srgb_to_linear(g), _srgb_to_linear(b)
+        r8, g8, b8 = img[..., 0], img[..., 1], img[..., 2]
+    r = jnp.take(gamma, r8)
+    g = jnp.take(gamma, g8)
+    b = jnp.take(gamma, b8)
 
-    m = _XYZ_FROM_RGB
-    x = (m[0][0] * r + m[0][1] * g + m[0][2] * b) / _XN
-    y = m[1][0] * r + m[1][1] * g + m[1][2] * b
-    z = (m[2][0] * r + m[2][1] * g + m[2][2] * b) / _ZN
+    c = _COEFFS
+    fx = jnp.take(cbrt, _descale(r * c[0, 0] + g * c[0, 1] + b * c[0, 2], _LAB_SHIFT))
+    fy = jnp.take(cbrt, _descale(r * c[1, 0] + g * c[1, 1] + b * c[1, 2], _LAB_SHIFT))
+    fz = jnp.take(cbrt, _descale(r * c[2, 0] + g * c[2, 1] + b * c[2, 2], _LAB_SHIFT))
 
-    fy = _lab_f(y)
-    l_val = jnp.where(y > 0.008856, 116.0 * fy - 16.0, 903.3 * y)
-    a_val = 500.0 * (_lab_f(x) - fy)
-    b_val = 200.0 * (fy - _lab_f(z))
-
-    l8 = jnp.clip(jnp.round(l_val * 255.0 / 100.0), 0, 255)
-    a8 = jnp.clip(jnp.round(a_val + 128.0), 0, 255)
-    b8 = jnp.clip(jnp.round(b_val + 128.0), 0, 255)
-    return jnp.stack([l8, a8, b8], axis=-1).astype(jnp.uint8)
+    l_val = _descale(_L_SCALE * fy + _L_SHIFT, _LAB_SHIFT2)
+    a_val = _descale(500 * (fx - fy) + (128 << _LAB_SHIFT2), _LAB_SHIFT2)
+    b_val = _descale(200 * (fy - fz) + (128 << _LAB_SHIFT2), _LAB_SHIFT2)
+    out = jnp.stack([l_val, a_val, b_val], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def adjust_brightness(image: jnp.ndarray, delta: int) -> jnp.ndarray:

@@ -167,6 +167,59 @@ def _single_frame_impl_pallas(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "stride", "patch_size", "reduce_size", "use_color_patch", "use_depth",
+        "use_height", "use_normal", "num_levels", "feat_bits", "class_counts",
+        "fill_value", "out_h", "out_w",
+    ),
+)
+def _batch_frame_impl_pallas(
+    rgb, depth_mm, intrinsic_inverse, rotation, translation, d_min, d_max,
+    meta, thresholds, level_offsets, level_chunks, leaf_hist,
+    *, stride, patch_size, reduce_size, use_color_patch, use_depth,
+    use_height, use_normal, num_levels, feat_bits, class_counts,
+    fill_value, out_h, out_w,
+):
+    """Batched single-frame slice: B keyframes per dispatch.
+
+    The per-image stages run as a static Python loop inside the one jit
+    (no extra dispatches); the forest descent and leaf-histogram gathers
+    run ONCE on the concatenated [B*P, D] feature matrix, amortizing the
+    Pallas kernel's fixed per-call cost over the batch. This is the DP-
+    over-keyframes component from SURVEY.md 2.5 (replacing the reference's
+    one-frame-at-a-time worker, src/segmenter.cpp:323-443).
+    """
+    b = rgb.shape[0]
+    feats_all = []
+    masks = []
+    for i in range(b):
+        features, mask, ys, xs = _extract_impl(
+            rgb[i], depth_mm[i], intrinsic_inverse[i], rotation[i],
+            translation[i], d_min, d_max,
+            stride=stride, patch_size=patch_size, reduce_size=reduce_size,
+            use_color_patch=use_color_patch, use_depth=use_depth,
+            use_height=use_height, use_normal=use_normal,
+        )
+        feats_all.append(features)
+        masks.append(mask)
+    feats = jnp.concatenate(feats_all, axis=0)  # [B*P, D]
+    leaves = find_leaves_pallas(
+        feats, meta, thresholds, level_offsets, level_chunks,
+        num_levels=num_levels, feat_bits=feat_bits,
+    )
+    post = _sum_leaf_histograms(leaf_hist, leaves)  # [B*P, L, Cmax]
+    p = masks[0].shape[0]
+    outs = []
+    for i in range(b):
+        outs.append(_posterior_maps(
+            post[i * p : (i + 1) * p], masks[i], depth_mm[i], stride,
+            class_counts, fill_value, out_h, out_w,
+        ))
+    return outs
+
+
 @dataclass
 class SingleFrameResult:
     posteriors: List[jnp.ndarray]  # per layer [H, W, C_l] float32
@@ -193,6 +246,54 @@ class SingleFramePipeline:
         self.use_pallas = bool(use_pallas)
         self.pallas_predictor = PallasForestPredictor(forest) if self.use_pallas else None
         self.predictor = ForestPredictor(forest)
+
+    def run_batch(
+        self,
+        rgbs: Sequence[np.ndarray],
+        depths_mm: Sequence[np.ndarray],
+        calibrations: Sequence[Calibration],
+    ) -> List[SingleFrameResult]:
+        """Process B keyframes in ONE dispatch (requires the Pallas path).
+
+        Amortizes dispatch latency and the descent kernel's fixed cost;
+        per-frame outputs are identical to :meth:`run` (same kernels, same
+        math — the batch only concatenates points).
+        """
+        if not self.use_pallas:
+            return [
+                self.run(r, d, c)
+                for r, d, c in zip(rgbs, depths_mm, calibrations)
+            ]
+        cfg = self.feature_config
+        h, w = np.asarray(depths_mm[0]).shape
+        pp = self.pallas_predictor
+        outs = _batch_frame_impl_pallas(
+            jnp.stack([jnp.asarray(r) for r in rgbs]),
+            jnp.stack([jnp.asarray(d) for d in depths_mm]),
+            jnp.stack([jnp.asarray(c.intrinsic_inverse) for c in calibrations]),
+            jnp.stack([jnp.asarray(c.rotation) for c in calibrations]),
+            jnp.stack([jnp.asarray(c.translation) for c in calibrations]),
+            jnp.float32(cfg.d_min),
+            jnp.float32(cfg.d_max),
+            pp.meta, pp.thresholds, pp.level_offsets, pp.level_chunks,
+            pp.leaf_hist,
+            stride=self.stride,
+            patch_size=cfg.patch_size,
+            reduce_size=cfg.patch_size_reduce,
+            use_color_patch=cfg.use_color_patch,
+            use_depth=cfg.use_depth,
+            use_height=cfg.use_height,
+            use_normal=cfg.use_normal,
+            num_levels=pp.lm.num_levels,
+            feat_bits=pp.lm.feat_bits,
+            class_counts=self.class_counts,
+            fill_value=self.fill_value,
+            out_h=h,
+            out_w=w,
+        )
+        return [
+            SingleFrameResult(posteriors=po, labels=la) for po, la in outs
+        ]
 
     def run(
         self,

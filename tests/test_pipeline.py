@@ -76,6 +76,37 @@ class TestSingleFrame:
         )
 
 
+class TestBatchedFrames:
+    def test_batch_matches_per_frame(self):
+        """The B-frames-per-dispatch path is bit-identical to run()."""
+        rng = np.random.default_rng(7)
+        forest = random_forest(
+            rng, num_trees=3, depth=7, num_features=78,
+            class_counts=[8, 9], max_nodes=201,
+        )
+        cfg = FeatureConfig(patch_size=15, patch_size_reduce=5)
+        # Force the Pallas path (interpret mode off-TPU) so the batched
+        # impl actually runs instead of the per-frame fallback.
+        pipe = SingleFramePipeline(cfg, forest, stride=2, use_pallas=True)
+        frames = [frame(seed=s) for s in (1, 2, 3)]
+        batch = pipe.run_batch(
+            [f[0] for f in frames],
+            [f[1] for f in frames],
+            [f[2] for f in frames],
+        )
+        assert len(batch) == 3
+        for (rgb, depth, calib), got in zip(frames, batch):
+            want = pipe.run(rgb, depth, calib)
+            for l in range(2):
+                np.testing.assert_array_equal(
+                    np.asarray(got.labels[l]), np.asarray(want.labels[l])
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got.posteriors[l]),
+                    np.asarray(want.posteriors[l]),
+                )
+
+
 class TestShardedBatch:
     def test_dryrun_8_devices(self):
         from rovinasemanticsegmentation_tpu.parallel.mesh import (
