@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.color import rgb_to_lab8
+from ..ops.color import rgb_to_lab8, warm_lab_tables
 from ..ops.geometry import backproject, depth_valid_mask
 from ..ops.normals import normal_angles_grid
 from ..ops.patches import extract_patches, reflect_pad_image
@@ -198,6 +198,7 @@ class FeatureExtractor:
 
     def __init__(self, config: FeatureConfig):
         self.config = config
+        warm_lab_tables()  # measure VPU Lab corrections outside any trace
 
     def extract(
         self,

@@ -237,6 +237,9 @@ class SingleFramePipeline:
         fill_value: float = ARGMAX_FLOOR,
         use_pallas: Optional[bool] = None,
     ):
+        from ..ops.color import warm_lab_tables
+
+        warm_lab_tables()  # measure VPU Lab corrections outside any trace
         self.feature_config = feature_config
         self.stride = int(stride)
         self.fill_value = float(fill_value)

@@ -14,7 +14,11 @@ CRITICAL measurement rules for the axon tunnel (hard-won; see ROADMAP.md):
   iteration in range (use ``i``, not ``i % k``, when K > k matters).
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -86,10 +90,19 @@ def slope(name, stage, *args):
 
 
 def main():
+    import os
+
     rng = np.random.default_rng(0)
     cfg = FeatureConfig()
-    forest = random_forest(rng, num_trees=4, depth=30, num_features=D,
-                           class_counts=[8, 9], max_nodes=40001)
+    fixture = os.path.join(os.path.dirname(__file__), "..", "resources",
+                           "bench_forest.dat")
+    if os.path.exists(fixture):
+        from rovinasemanticsegmentation_tpu.models.forest import load_forest
+        forest = load_forest(fixture, class_counts=[8, 9])
+        print(f"profiling with trained fixture forest {forest.node_counts}")
+    else:
+        forest = random_forest(rng, num_trees=4, depth=30, num_features=D,
+                               class_counts=[8, 9], max_nodes=40001)
     pp = PallasForestPredictor(forest)
     Kinv = jnp.asarray(np.linalg.inv(
         np.array([[525.0, 0, 320], [0, 525.0, 240], [0, 0, 1]])))
@@ -98,7 +111,18 @@ def main():
     depth = jnp.asarray(make_depth(rng))
     lab0 = reflect_pad_image(rgb_to_lab8(rgb), cfg.patch_size)
     dgrid = depth[::STRIDE, ::STRIDE].astype(jnp.float32) / 1000.0
-    feats = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))
+    # REAL features for the descent/hist stages: the trained forest's
+    # early-exit behavior is data-dependent, N(0,1) features would give
+    # meaningless leaf-depth distributions.
+    from rovinasemanticsegmentation_tpu.features.extractor import (
+        FeatureExtractor,
+    )
+    from rovinasemanticsegmentation_tpu.utils.calibration import Calibration
+    calib = Calibration(
+        intrinsic=np.array([[525.0, 0, 320], [0, 525.0, 240], [0, 0, 1]]),
+        rotation=np.eye(3), translation=np.zeros(3))
+    feats = FeatureExtractor(cfg).extract(
+        np.asarray(rgb), np.asarray(depth), calib, STRIDE).features
     post = jnp.asarray(rng.normal(size=(P, 2, 9)).astype(np.float32))
     leaves = find_leaves_pallas(
         feats, pp.meta, pp.thresholds, pp.level_offsets, pp.level_chunks,

@@ -157,25 +157,25 @@ class TestDenseInferenceDemo:
     @pytest.mark.skipif(
         not os.path.exists(REF + "/im1.ppm"), reason="reference PPMs absent"
     )
-    def test_demo_on_reference_images(self, tmp_path):
-        from rovinasemanticsegmentation_tpu.cli.dense_inference import (
-            run,
-            unary_from_annotation,
-        )
+    def test_golden_parity_with_reference_binary(self, tmp_path):
+        """Pixel-for-pixel equality with the COMPILED C++ reference.
+
+        tests/golden/out{1,2,3}_ref.ppm were produced by building the
+        reference's dense_inference example in this environment (g++
+        -O2 -std=c++17 against tensorflow's bundled Eigen; sources
+        examples/dense_inference.cpp:54-115) and running it on the
+        checked-in im1/anno1 pair. This is the BASELINE.md bar: label
+        maps matching the C++ reference pixel-for-pixel.
+        """
+        from rovinasemanticsegmentation_tpu.cli.dense_inference import run
         from rovinasemanticsegmentation_tpu.utils.imageio import load_ppm
 
+        golden = os.path.join(
+            os.path.dirname(__file__), "golden", "out1_ref.ppm"
+        )
         out = str(tmp_path / "out.ppm")
-        labels = run(self.REF + "/im1.ppm", self.REF + "/anno1.ppm", out)
-        anno = load_ppm(self.REF + "/anno1.ppm")
-        _, anno_labels = unary_from_annotation(anno)
-        anno_labels = anno_labels.reshape(labels.shape)
-        known = anno_labels >= 0
-        # CRF smoothing keeps the vast majority of confidently-annotated
-        # pixels and fills the unknown ones with something valid.
-        agree = (labels[known] == anno_labels[known]).mean()
-        assert agree > 0.9
-        assert labels.min() >= 0 and labels.max() < 21
-        assert os.path.exists(out)
+        run(self.REF + "/im1.ppm", self.REF + "/anno1.ppm", out)
+        np.testing.assert_array_equal(load_ppm(out), load_ppm(golden))
 
 
 class TestLatticeFeatureGradient:
