@@ -331,6 +331,60 @@ def potts_mean_field(
 
 
 @partial(jax.jit, static_argnames=("blocks", "num_vertices", "n_iterations"))
+def potts_mean_field_multi_t(
+    unary_t: jnp.ndarray,  # [sum(blocks), N] energies, layers stacked
+    sorted_points: jnp.ndarray,
+    sorted_weights: jnp.ndarray,
+    seg_starts: jnp.ndarray,
+    seg_ends: jnp.ndarray,
+    offsets_t: jnp.ndarray,
+    barycentric_t: jnp.ndarray,
+    blur_n1: jnp.ndarray,
+    blur_n2: jnp.ndarray,
+    norm: jnp.ndarray,  # [N] symmetric-normalization vector
+    weight: jnp.ndarray,
+    blocks: Tuple[int, ...],
+    num_vertices: int,
+    n_iterations: int,
+) -> jnp.ndarray:
+    """Transposed-layout fused mean-field (the serving hot path).
+
+    Same math as :func:`potts_mean_field_multi` in the [C, N] layout using
+    :func:`lattice_filter_t` — every op keeps N on lanes, and the splat
+    runs as a sorted segment sum instead of a scatter (see lattice.py).
+    Differs from the per-layer reference run only in f32 summation order
+    inside the splat.
+    """
+    from .lattice import lattice_filter_t
+
+    def normalize_blocks(x):
+        parts = []
+        start = 0
+        for c in blocks:
+            b = x[start : start + c]
+            b = b - jnp.max(b, axis=0, keepdims=True)
+            e = jnp.exp(b)
+            parts.append(e / jnp.sum(e, axis=0, keepdims=True))
+            start += c
+        return jnp.concatenate(parts, axis=0)
+
+    def step(q, _):
+        filtered = (
+            lattice_filter_t(
+                q * norm[None, :],
+                sorted_points, sorted_weights, seg_starts, seg_ends,
+                offsets_t, barycentric_t, blur_n1, blur_n2, num_vertices,
+            )
+            * norm[None, :]
+        )
+        return normalize_blocks(-unary_t + weight * filtered), None
+
+    q0 = normalize_blocks(-unary_t)
+    q, _ = jax.lax.scan(step, q0, None, length=n_iterations)
+    return q
+
+
+@partial(jax.jit, static_argnames=("blocks", "num_vertices", "n_iterations"))
 def potts_mean_field_multi(
     unary: jnp.ndarray,  # [N, sum(blocks)] energies, layers concatenated
     offsets: jnp.ndarray,

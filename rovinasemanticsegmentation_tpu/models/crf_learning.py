@@ -262,12 +262,19 @@ class _KernelCrfLearner:
         gt: np.ndarray,  # [N]
         n_iterations: int = 3,
         objective: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = log_likelihood,
+        extra_potentials: Sequence[LearnablePotts] = (),
+        extra_weights: Sequence[float] = (),
     ):
+        """``extra_potentials``/``extra_weights``: additional FIXED Potts
+        terms active in the mean-field while the kernel potential's
+        parameters are learned (dense_learning.cpp keeps the grid Gaussian
+        in the model during its kernel phase)."""
         self.unary = jnp.asarray(unary, jnp.float32)
         self.base = np.asarray(base_features, np.float32)
         self.gt = jnp.asarray(gt.astype(np.int32))
         self.n_iterations = n_iterations
         self.objective = objective
+        self.extra = list(zip(extra_potentials, [float(w) for w in extra_weights]))
 
     @staticmethod
     def _transform(base: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
@@ -288,6 +295,12 @@ class _KernelCrfLearner:
         params = np.asarray(params, np.float32)
         at = params if lattice_at is None else np.asarray(lattice_at, np.float32)
         feats = np.asarray(self._transform(jnp.asarray(self.base), at))
+        if not np.isfinite(feats).all() or np.abs(feats).max() > 1e6:
+            # A line-search step proposed degenerate kernel parameters; a
+            # huge finite objective makes L-BFGS-B backtrack (inf/nan would
+            # poison its quasi-Newton state; the reference's C++ would feed
+            # garbage into the lattice here).
+            return 1e10, 0.0, np.zeros(params.size, np.float64)
         lattice = build_lattice(feats, use_native=False)
         offsets = jnp.asarray(lattice.offsets)
         n1 = jnp.asarray(lattice.blur_n1)
@@ -310,7 +323,10 @@ class _KernelCrfLearner:
             q = exp_and_normalize(-self.unary)
             for _ in range(self.n_iterations):
                 filtered = filt(q * norm[:, None]) * norm[:, None]
-                q = exp_and_normalize(-self.unary + w * filtered)
+                t = -self.unary + w * filtered
+                for pot, pw in self.extra:
+                    t = t + pw * pot.filter(q)
+                q = exp_and_normalize(t)
             return -self.objective(q, self.gt)
 
         v, (gw, gp) = jax.value_and_grad(neg_obj, argnums=(0, 1))(
@@ -327,8 +343,15 @@ class _KernelCrfLearner:
         shape = params0.shape
 
         def fun(x):
+            if not np.isfinite(x).all():
+                return 1e10, np.zeros(x.size)
             v, gw, gp = self._neg_obj_and_grad(x[0], x[1:].reshape(shape))
-            return v, np.concatenate([[gw], gp.ravel()])
+            g = np.concatenate([[gw], gp.ravel()])
+            if not (np.isfinite(v) and np.isfinite(g).all()):
+                # Degenerate evaluation (collapsed lattice, saturated
+                # softmax): huge finite penalty so L-BFGS-B backtracks.
+                return 1e10, np.zeros(x.size)
+            return v, g
 
         x0 = np.concatenate([[initial_weight], params0.ravel().astype(np.float64)])
         res = minimize(fun, x0, jac=True, method="L-BFGS-B",

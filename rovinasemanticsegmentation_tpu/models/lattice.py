@@ -50,6 +50,13 @@ class PermutohedralLattice:
     # (lattice_filter_differentiable); None when built by the native builder.
     rem0: "np.ndarray | None" = None  # [N, d+1] float32
     rank: "np.ndarray | None" = None  # [N, d+1] int32
+    # Sorted splat stream for the transposed (channels-on-sublanes) filter
+    # (attach_sorted_stream): contribution (point, weight) pairs sorted by
+    # vertex id + per-vertex [start, end) row ranges into that stream.
+    sorted_points: "np.ndarray | None" = None  # [Spad] int32
+    sorted_weights: "np.ndarray | None" = None  # [Spad] float32
+    seg_starts: "np.ndarray | None" = None  # [M] int32
+    seg_ends: "np.ndarray | None" = None  # [M] int32
 
     @property
     def alpha(self) -> float:
@@ -218,6 +225,98 @@ def lattice_filter(
     gathered = jnp.take(verts, offsets, axis=0)  # [N, d+1, C]
     out = (gathered * barycentric[:, :, None]).sum(axis=1) * alpha
     return out
+
+
+def attach_sorted_stream(lattice: PermutohedralLattice) -> PermutohedralLattice:
+    """Precompute the sorted splat stream for :func:`lattice_filter_t`.
+
+    The N*(d+1) splat contributions are sorted by destination vertex on the
+    host (once per map; the lattice itself is host-built anyway), turning
+    the device splat from a scatter-add — TPU scatters cost ~12 ns/row —
+    into a segment sum over contiguous runs: a lane-wise cumsum plus two
+    gathers of per-vertex prefix bounds. Call AFTER :func:`pad_lattice`
+    (padded vertices get empty [start == end) segments).
+    """
+    if lattice.sorted_points is not None:
+        return lattice
+    n, d1 = lattice.offsets.shape
+    flat = lattice.offsets.reshape(-1)
+    perm = np.argsort(flat, kind="stable")
+    sorted_ids = flat[perm]
+    s = n * d1
+    spad = -(-s // 128) * 128
+    pts = (perm // d1).astype(np.int32)
+    w = lattice.barycentric.reshape(-1)[perm].astype(np.float32)
+    m = lattice.num_vertices
+    # Prefix-row bounds: vertex v sums sorted rows [starts[v], ends[v]).
+    starts = np.searchsorted(sorted_ids, np.arange(m), side="left")
+    ends = np.searchsorted(sorted_ids, np.arange(m), side="right")
+    lattice.sorted_points = np.pad(pts, (0, spad - s))
+    lattice.sorted_weights = np.pad(w, (0, spad - s))
+    lattice.seg_starts = starts.astype(np.int32)
+    lattice.seg_ends = ends.astype(np.int32)
+    return lattice
+
+
+@partial(jax.jit, static_argnames=("num_vertices", "reverse"))
+def lattice_filter_t(
+    values_t: jnp.ndarray,  # [C, N] channels on sublanes, points on lanes
+    sorted_points: jnp.ndarray,  # [Spad]
+    sorted_weights: jnp.ndarray,  # [Spad]
+    seg_starts: jnp.ndarray,  # [M]
+    seg_ends: jnp.ndarray,  # [M]
+    offsets_t: jnp.ndarray,  # [d+1, N]
+    barycentric_t: jnp.ndarray,  # [d+1, N]
+    blur_n1: jnp.ndarray,  # [d+1, M]
+    blur_n2: jnp.ndarray,  # [d+1, M]
+    num_vertices: int,
+    reverse: bool = False,
+) -> jnp.ndarray:  # [C, N]
+    """Transposed splat -> blur -> slice (permutohedral.cpp:476-527).
+
+    Same math as :func:`lattice_filter` in the [C, N] layout. Two TPU wins
+    over the points-major version: (a) every tensor keeps the long
+    dimension on lanes, so C ~ 17 wastes nothing (a [N, 17] layout uses 17
+    of 128 lanes for every op); (b) the splat scatter — the filter's
+    dominant cost, ~2.5 ms for a 30k-point cloud — becomes a lane-wise
+    two-level cumsum over the host-sorted contribution stream plus two
+    prefix gathers (~0.3 ms). Summation order within a vertex differs from
+    the reference's point-order accumulation by f32 rounding only.
+    """
+    c, n = values_t.shape
+    d1 = offsets_t.shape[0]
+    m = num_vertices
+    alpha = 1.0 / (1.0 + 2.0 ** (-(d1 - 1)))
+    spad = sorted_points.shape[0]
+    rows = spad // 128
+
+    # Splat: gather contributions in sorted order, two-level prefix sum
+    # (lane cumsum + row-total carry), per-vertex range differences.
+    contrib = (
+        jnp.take(values_t, sorted_points, axis=1) * sorted_weights[None, :]
+    )  # [C, Spad]
+    x = contrib.reshape(c, rows, 128)
+    within = jnp.cumsum(x, axis=2)
+    rowtot = within[:, :, -1]
+    carry = jnp.cumsum(rowtot, axis=1) - rowtot  # exclusive row prefix
+    prefix = (within + carry[:, :, None]).reshape(c, spad)
+    prefix = jnp.concatenate([jnp.zeros((c, 1), values_t.dtype), prefix], axis=1)
+    verts = jnp.take(prefix, seg_ends, axis=1) - jnp.take(
+        prefix, seg_starts, axis=1
+    )  # [C, M]
+    zero = jnp.zeros((c, 1), values_t.dtype)
+    verts = jnp.concatenate([verts, zero], axis=1)  # slot m = missing
+
+    # Blur: d+1 sequential passes; missing neighbors read the zero slot.
+    axes = range(d1 - 1, -1, -1) if reverse else range(d1)
+    for j in axes:
+        n1v = jnp.take(verts, blur_n1[j], axis=1)
+        n2v = jnp.take(verts, blur_n2[j], axis=1)
+        verts = jnp.concatenate([verts[:, :m] + 0.5 * (n1v + n2v), zero], axis=1)
+
+    # Slice.
+    gathered = jnp.take(verts, offsets_t, axis=1)  # [C, d+1, N]
+    return (gathered * barycentric_t[None, :, :]).sum(axis=1) * alpha
 
 
 def differentiable_barycentric(

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.forest import Forest, _feature_bits
 
 LANES = 128
+DESCENT_TWO_LEVEL = False
 
 
 @dataclass
@@ -172,10 +173,6 @@ def _descent_kernel(
     s_rows = tile // LANES
 
     # Constant helpers for the lanes <-> sublanes layout dance.
-    p_row = jax.lax.broadcasted_iota(jnp.int32, (tile, s_rows), 0) // LANES
-    e_mat = (
-        p_row == jax.lax.broadcasted_iota(jnp.int32, (tile, s_rows), 1)
-    ).astype(jnp.float32)  # [tile, S] one-hot of p // 128
     lane_of_p = (
         jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0) % LANES
     )  # static per-row lane index p % 128
@@ -230,18 +227,17 @@ def _descent_kernel(
         metas = [swept[2 * t] for t in range(num_trees)]
         thrs = [swept[2 * t + 1] for t in range(num_trees)]
 
-        # Up-convert every tree's f to the sublane domain in ONE matmul:
-        # row p of (e_mat @ f_stack) holds each tree's f-row p//128.
-        # precision=HIGHEST is load-bearing: the TPU default bf16 matmul
-        # rounds integer feature indices >= 257.
+        # Up-convert every tree's f to the sublane domain: row p must hold
+        # f-row p//128, i.e. a 128x sublane replication — a broadcast +
+        # reshape, no arithmetic. (Previously a [tile, S] x [S, T*128]
+        # one-hot matmul at precision=HIGHEST; the broadcast relayout is
+        # cheaper than an MXU round trip per level.)
         f_stack = jnp.concatenate(
-            [(m & fmask).astype(jnp.float32) for m in metas], axis=1
+            [m & fmask for m in metas], axis=1
         )  # [S, T * 128]
-        f_rows = jnp.dot(
-            e_mat, f_stack,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)  # [tile, T * 128]
+        f_rows = jnp.broadcast_to(
+            f_stack[:, None, :], (s_rows, LANES, num_trees * LANES)
+        ).reshape(tile, num_trees * LANES)  # [tile, T * 128]
 
         # Pack: lane t of row p holds tree t's feature index for point p.
         packed = jnp.zeros((tile, LANES), jnp.int32)
@@ -282,6 +278,171 @@ def _descent_kernel(
         out_ref[:, pl.ds(t * LANES, LANES)] = nodes[t]
 
 
+def _descent2_kernel(
+    off_ref,  # SMEM [T, LV] level offsets (in 128-chunk units)
+    nch_ref,  # SMEM [T, LV] level chunk counts
+    feats_ref,  # VMEM [TILE, FC * 128] feature tile
+    meta_ref,  # VMEM [T, Np // 128, 128]
+    thr_ref,  # VMEM [T, Np // 128, 128]
+    out_ref,  # VMEM [TILE // 128, T * 128] leaf ids, points on lanes
+    *,
+    num_trees: int,
+    num_levels: int,
+    feat_bits: int,
+    feat_chunks: int,
+    tile: int,
+):
+    """TWO levels per x-lookup round (see _descent_kernel for the base
+    scheme). The x-lookup's [tile, 128]-domain gathers dominate descent
+    (~10 of 13.5 ms measured); children ids are known from the level-l
+    sweep BEFORE any feature value is needed, so the step sweeps level l
+    (the node) AND level l+1 (both children), packs the three feature
+    indices per tree into one int32 (3 * feat_bits <= 31), and resolves
+    both comparisons from ONE packed gather round: 4 diag + 3 chunk
+    gathers per 2 levels instead of per level. Lanes 3t/3t+1/3t+2 of the
+    packed index hold tree t's node/left-child/right-child features."""
+    fmask = (1 << feat_bits) - 1
+    s_rows = tile // LANES
+
+    lane_of_p = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0) % LANES
+    )
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    lane_mod3 = lane_id - (lane_id // 3) * 3
+    lane_tree = lane_id // 3
+
+    def level_cond(state):
+        l, active, _ = state
+        return (l < num_levels) & (active > 0)
+
+    max_chunk_idx = meta_ref.shape[1] - 1
+    lv_max = off_ref.shape[1] - 1
+
+    def sweep(l, locals_, offs, n_targets):
+        """Chunk sweep fetching (meta, thr) for n_targets consecutive-id
+        target lists per tree. locals_[t] is the FIRST target's local
+        index; targets are locals_[t] + k for k < n_targets."""
+        max_chunks = nch_ref[0, l]
+        for t in range(1, num_trees):
+            max_chunks = jnp.maximum(max_chunks, nch_ref[t, l])
+
+        def chunk_body(c, carry):
+            out = list(carry)
+            base = c * LANES
+            for t in range(num_trees):
+                row = jnp.minimum(offs[t] + c, max_chunk_idx)
+                chunk_m = jnp.broadcast_to(
+                    meta_ref[t, row, :].reshape(1, LANES), (s_rows, LANES)
+                )
+                chunk_t = jnp.broadcast_to(
+                    thr_ref[t, row, :].reshape(1, LANES), (s_rows, LANES)
+                )
+                for k in range(n_targets):
+                    local = locals_[t] + k
+                    in_chunk = (local >= base) & (local < base + LANES)
+                    r = jnp.clip(local - base, 0, LANES - 1)
+                    g_m = jnp.take_along_axis(chunk_m, r, axis=1)
+                    g_t = jnp.take_along_axis(chunk_t, r, axis=1)
+                    i = (t * n_targets + k) * 2
+                    out[i] = jnp.where(in_chunk, g_m, out[i])
+                    out[i + 1] = jnp.where(in_chunk, g_t, out[i + 1])
+            return tuple(out)
+
+        init = []
+        for _ in range(num_trees * n_targets):
+            init.append(jnp.zeros((s_rows, LANES), jnp.int32))
+            init.append(jnp.zeros((s_rows, LANES), jnp.float32))
+        return jax.lax.fori_loop(0, max_chunks, chunk_body, tuple(init))
+
+    def level_body(state):
+        l, _, nodes = state
+        # Sweep level l for the node records.
+        offs_l = [off_ref[t, l] for t in range(num_trees)]
+        swept = sweep(
+            l, [nodes[t] - offs_l[t] * LANES for t in range(num_trees)],
+            offs_l, 1,
+        )
+        metas = [swept[2 * t] for t in range(num_trees)]
+        thrs = [swept[2 * t + 1] for t in range(num_trees)]
+        lcs = [metas[t] >> feat_bits for t in range(num_trees)]
+
+        # Sweep level l+1 for BOTH children (ids lc, lc+1). When l+1 is
+        # past the last level every node here is a leaf and the masked
+        # results are unused (reads are clamped in-bounds).
+        l1 = jnp.minimum(l + 1, lv_max)
+        offs_l1 = [off_ref[t, l1] for t in range(num_trees)]
+        swept_c = sweep(
+            l1, [lcs[t] - offs_l1[t] * LANES for t in range(num_trees)],
+            offs_l1, 2,
+        )
+
+        # Pack (f_node, f_child0, f_child1) per tree into one int32.
+        fp = []
+        for t in range(num_trees):
+            f_n = metas[t] & fmask
+            f_c0 = swept_c[4 * t] & fmask
+            f_c1 = swept_c[4 * t + 2] & fmask
+            fp.append(f_n | (f_c0 << feat_bits) | (f_c1 << (2 * feat_bits)))
+        fp_stack = jnp.concatenate(fp, axis=1)  # [S, T * 128]
+        fp_rows = jnp.broadcast_to(
+            fp_stack[:, None, :], (s_rows, LANES, num_trees * LANES)
+        ).reshape(tile, num_trees * LANES)
+
+        # Diag-extract per tree, then spread the three fields over lanes
+        # 3t / 3t+1 / 3t+2 with static shifts + a lane_mod3 select.
+        packed = jnp.zeros((tile, LANES), jnp.int32)
+        for t in range(num_trees):
+            rep = jnp.take_along_axis(
+                fp_rows[:, t * LANES : (t + 1) * LANES], lane_of_p, axis=1
+            )
+            packed = jnp.where(lane_tree == t, rep, packed)
+        packed = jnp.where(
+            lane_mod3 == 0, packed,
+            jnp.where(lane_mod3 == 1, packed >> feat_bits,
+                      packed >> (2 * feat_bits)),
+        ) & fmask
+
+        # x[p, f] for all 3T lanes at once.
+        f_chunk = packed // LANES
+        f_lane = packed - f_chunk * LANES
+        x_pack = jnp.zeros((tile, LANES), jnp.float32)
+        for fc in range(feat_chunks):
+            chunk = feats_ref[:, pl.ds(fc * LANES, LANES)]
+            xc = jnp.take_along_axis(chunk, f_lane, axis=1)
+            x_pack = jnp.where(f_chunk == fc, xc, x_pack)
+
+        new_nodes = []
+        moving = jnp.zeros((s_rows, LANES), jnp.int32)
+        for t in range(num_trees):
+            x_n = x_pack[:, 3 * t : 3 * t + 1].reshape(s_rows, LANES)
+            x_c0 = x_pack[:, 3 * t + 1 : 3 * t + 2].reshape(s_rows, LANES)
+            x_c1 = x_pack[:, 3 * t + 2 : 3 * t + 3].reshape(s_rows, LANES)
+            lc = lcs[t]
+            leaf_n = lc == 0
+            d_n = (x_n >= thrs[t]).astype(jnp.int32)
+            child = lc + d_n
+            sel = d_n == 1
+            meta_c = jnp.where(sel, swept_c[4 * t + 2], swept_c[4 * t])
+            thr_c = jnp.where(sel, swept_c[4 * t + 3], swept_c[4 * t + 1])
+            x_c = jnp.where(sel, x_c1, x_c0)
+            lc2 = meta_c >> feat_bits
+            leaf_c = lc2 == 0
+            d_c = (x_c >= thr_c).astype(jnp.int32)
+            nxt = jnp.where(leaf_c, child, lc2 + d_c)
+            new_nodes.append(jnp.where(leaf_n, nodes[t], nxt))
+            moving = moving | ((~leaf_n & ~leaf_c)).astype(jnp.int32)
+        return (l + 2, jnp.sum(moving), tuple(new_nodes))
+
+    nodes = tuple(
+        jnp.zeros((s_rows, LANES), jnp.int32) for _ in range(num_trees)
+    )
+    _, _, nodes = jax.lax.while_loop(
+        level_cond, level_body, (jnp.int32(0), jnp.int32(1), nodes)
+    )
+    for t in range(num_trees):
+        out_ref[:, pl.ds(t * LANES, LANES)] = nodes[t]
+
+
 @partial(jax.jit, static_argnames=("num_levels", "feat_bits", "tile", "interpret"))
 def find_leaves_pallas(
     features: jnp.ndarray,  # [P, D] f32 (P % tile == 0 after padding)
@@ -311,9 +472,19 @@ def find_leaves_pallas(
     meta = meta.reshape(t_count, np_nodes // LANES, LANES)
     thresholds = thresholds.reshape(t_count, np_nodes // LANES, LANES)
 
+    # The 2-level kernel packs 3 feature ids per int32 and 3 lanes per
+    # tree. It halves the x-lookup rounds but measured SLOWER end to end
+    # (19.8 vs 13.5 ms on v5e for the trained bench forest — the doubled
+    # sweep visits every level twice and the larger loop body spills), so
+    # the 1-level kernel stays the default; flip DESCENT_TWO_LEVEL to
+    # re-evaluate after kernel tuning.
+    use2 = (
+        DESCENT_TWO_LEVEL and 3 * feat_bits <= 31 and 3 * t_count <= LANES
+    )
+    kernel = _descent2_kernel if use2 else _descent_kernel
     out = pl.pallas_call(
         partial(
-            _descent_kernel,
+            kernel,
             num_trees=t_count,
             num_levels=num_levels,
             feat_bits=feat_bits,

@@ -6,30 +6,37 @@ The reference computes per-pixel normals with
 (``/root/reference/include/feature_extractor.h:254-262``), and consumes only
 ``acos(|n_z|)`` with NaN mapped to -2 (``feature_extractor.h:275-284``).
 
-Algorithm (re-designed as dense tensor ops; PCL reference:
-``pcl/features/integral_image_normal.hpp``):
+Semantics follow PCL 1.7's ``integral_image_normal.hpp`` as pinned by the
+scalar oracle in ``tests/pcl_normals_oracle.py`` (PCL itself is absent in
+this environment):
 
-1. central-difference 3D gradients of the point image along x and y;
-2. a depth-change map marking |dz| > 0.02 * (|z|+1) * 2 or invalid neighbors;
-3. an exact L1 distance transform to the nearest depth change — separable
-   1D min-plus transforms implemented as cumulative minima of ``v - i`` /
-   ``v + i`` (no sequential scans);
-4. per-pixel smoothing radius = min(distance, normal_smoothing_size); radii
-   <= 2 yield NaN normals (PCL's minimum rect);
-5. masked box-average of both gradients over the per-pixel window. The
-   radius takes at most ``floor(smoothing/2)+1`` distinct values (6 for the
-   default 10.0), so on the stride grid each radius's box sum is four
-   contiguous slices of PHASE-SPLIT padded integral images (one strided
-   split into s*s phase sub-images up front; every corner read is then a
-   contiguous ``dynamic_slice`` of one phase), selected by a ``radius == r``
-   mask. No gathers, and no per-corner lane-strided relayouts — measured
-   8.2 ms at stride 2 vs 69 ms naive strided slices, 17 ms gathers, on one
-   v5e for VGA input. All four integrals ride one 8-channel stack so the
-   whole box sum is one slice expression;
-6. normal = normalize(cross(grad_x, grad_y)).
-
-Only |n_z| is consumed downstream, so the cross-product orientation and
-viewpoint flip are irrelevant and omitted.
+1. central-difference 3D gradients ``p(x+1) - p(x-1)`` / ``p(y+1) - p(y-1)``
+   (no 0.5 — scale cancels in the normalization);
+2. a depth-change map: right/lower neighbor pairs where
+   ``|dz| > 0.02 * (|z|+1) * 2`` or either depth is non-finite mark BOTH
+   pixels; pairs are only evaluated inside the image;
+3. a two-pass CHAMFER distance transform (axial 1.0, diagonal 1.4) to the
+   nearest change — the row recurrences run as ``lax.scan`` over rows with
+   the in-row left/right chains expressed as cumulative minima of ``v - x``;
+4. per-pixel ``smoothing = min(distance, normal_smoothing_size)``; pixels
+   with ``smoothing <= 2`` or non-finite depth are NaN; the averaging
+   window is ``rect = int(smoothing)`` wide spanning
+   ``[pos - rect/2, pos - rect/2 + rect)`` per axis (truncated, right-open
+   — even rects give asymmetric windows), and a frame of
+   ``border = int(normal_smoothing_size)`` pixels is skipped entirely;
+5. masked box-sums of both gradients over the per-pixel window; ``rect``
+   takes at most 9 distinct values (2..10 for the default 10.0), so on the
+   stride grid each rect's box sum is four contiguous slices of PHASE-SPLIT
+   padded integral images (one strided split into s*s phase sub-images up
+   front; every corner read is then a contiguous ``dynamic_slice``),
+   selected by a ``rect == r`` mask. No gathers — measured 8.2 ms at
+   stride 2 vs 69 ms naive strided slices, 17 ms gathers, on one v5e for
+   VGA input. All four integrals ride one 8-channel stack so the whole box
+   sum is one slice expression;
+6. normal ~ cross(grad_y_sum, grad_x_sum); windows with no finite elements
+   in either gradient or a zero-length cross give NaN. Only ``|n_z|`` is
+   consumed downstream, so the cross orientation/viewpoint flip are
+   irrelevant.
 """
 
 from __future__ import annotations
@@ -39,31 +46,111 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.float32(1e9)
 
+def _row_chain_min(cand: jnp.ndarray, reverse: bool) -> jnp.ndarray:
+    """In-row relaxation by +1.0 steps: out[x] = min_j<=x (cand[j] + (x-j)).
 
-def _dt_1d(v: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Exact 1D min-plus distance transform along ``axis``.
-
-    d[i] = min_k (v[k] + |i - k|), via prefix/suffix cumulative minima.
+    ``reverse`` chains right-to-left instead. Exactly PCL's sequential
+    ``cur[x] = min(base[x], cur[x-1] + 1)`` recurrence, vectorized.
     """
-    n = v.shape[axis]
-    idx_shape = [1] * v.ndim
-    idx_shape[axis] = n
-    i = jnp.arange(n, dtype=v.dtype).reshape(idx_shape)
-    fwd = jax.lax.cummin(v - i, axis=axis) + i
-    bwd = (
-        jnp.flip(jax.lax.cummin(jnp.flip(v + i, axis=axis), axis=axis), axis=axis)
-        - i
+    w = cand.shape[-1]
+    x = jnp.arange(w, dtype=cand.dtype)
+    if reverse:
+        return jnp.flip(_row_chain_min(jnp.flip(cand, -1), False), -1)
+    return jax.lax.cummin(cand - x, axis=cand.ndim - 1) + x
+
+
+def _chamfer_passes(d0: jnp.ndarray, big) -> jnp.ndarray:
+    """The two restricted chamfer passes over [..., R, W] row stacks.
+
+    Leading dimensions (row bands, batch) ride along; the scan is over the
+    row axis (-2). Column 0 and w-1 are never relaxed (PCL's passes loop
+    x in [1, w-2]); the first row is only touched by the backward pass,
+    the last only by the forward pass.
+    """
+    w = d0.shape[-1]
+    r = d0.shape[-2]
+    inner = (jnp.arange(w) >= 1) & (jnp.arange(w) <= w - 2)
+    is_first = jnp.arange(w) == 0
+    is_last = jnp.arange(w) == w - 1
+
+    def shift_l(row):  # row[x+1]
+        return jnp.concatenate(
+            [row[..., 1:], jnp.full(row.shape[:-1] + (1,), big)], axis=-1
+        )
+
+    def shift_r(row):  # row[x-1]
+        return jnp.concatenate(
+            [jnp.full(row.shape[:-1] + (1,), big), row[..., :-1]], axis=-1
+        )
+
+    def relax(prev, cur0, reverse):
+        vert = jnp.minimum(
+            prev + 1.0,
+            jnp.minimum(shift_r(prev) + 1.4, shift_l(prev) + 1.4),
+        )
+        base = jnp.minimum(cur0, vert)
+        feed = is_last if reverse else is_first
+        cand = jnp.where(inner, base, jnp.where(feed, cur0, big))
+        chained = _row_chain_min(cand, reverse=reverse)
+        return jnp.where(inner, jnp.minimum(base, chained), cur0)
+
+    rows = jnp.moveaxis(d0, -2, 0)  # [R, ..., W] for the scan
+
+    def fwd_step(prev, cur0):
+        cur = relax(prev, cur0, reverse=False)
+        return cur, cur
+
+    _, rows_f = jax.lax.scan(fwd_step, rows[0], rows[1:])
+    df = jnp.concatenate([rows[0][None], rows_f], axis=0)
+
+    def bwd_step(prev, cur0):
+        cur = relax(prev, cur0, reverse=True)
+        return cur, cur
+
+    _, rows_b = jax.lax.scan(bwd_step, df[r - 1], jnp.flip(df[: r - 1], 0))
+    out = jnp.concatenate([jnp.flip(rows_b, 0), df[r - 1][None]], axis=0)
+    return jnp.moveaxis(out, 0, -2)
+
+
+def chamfer_distance_map(
+    change: jnp.ndarray, saturation: Optional[float] = None
+) -> jnp.ndarray:
+    """PCL's two-pass chamfer (1.0/1.4) distance to the change pixels.
+
+    With ``saturation=s`` the consumer only distinguishes values < s (PCL
+    clamps ``smoothing = min(distance, s)``), so the map is computed in
+    independent row BANDS with ``ceil(s)``-row halos: any chamfer path
+    crossing a halo costs > s and both values clamp identically. This
+    turns the 2x(H-1)-step row scan into ~2x(band+2*halo) steps over all
+    bands stacked on sublanes (478 -> 72 sequential steps for VGA) —
+    the scan's per-step overhead, not the vector work, dominates on TPU.
+    Saturated values outside the returned clamp and inside the halo-less
+    top/bottom image border may differ from the sequential passes; exact
+    (unsaturated) callers get the full-height scan.
+    """
+    h, w = change.shape
+    big = jnp.float32(h + w)
+    d0 = jnp.where(change, 0.0, big).astype(jnp.float32)
+    if saturation is None:
+        return _chamfer_passes(d0, big)
+
+    halo = int(np.ceil(saturation))
+    band = 16
+    nb = -(-h // band)
+    padded = jnp.pad(
+        d0, ((halo, halo + nb * band - h), (0, 0)), constant_values=big
     )
-    return jnp.minimum(fwd, bwd)
-
-
-def l1_distance_transform(mask: jnp.ndarray) -> jnp.ndarray:
-    """Manhattan distance to the nearest True pixel (exact, separable)."""
-    v = jnp.where(mask, 0.0, _INF).astype(jnp.float32)
-    return _dt_1d(_dt_1d(v, axis=1), axis=0)
+    bands = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(padded, i * band, band + 2 * halo, 0)
+            for i in range(nb)
+        ]
+    )  # [nb, band + 2*halo, W]
+    out = _chamfer_passes(bands, big)
+    return out[:, halo : halo + band, :].reshape(nb * band, w)[:h]
 
 
 def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -122,7 +209,7 @@ def normal_angles_grid(
     Integral images and the distance transform still run at full resolution
     (their windows span full-res data), but everything per-point runs only
     at the consumed grid pixels (feature_extractor.h:269-289), and the box
-    sums use the static-radius phase-split formulation (no gathers).
+    sums use the static-rect phase-split formulation (no gathers).
     """
     return _normal_angles_impl(
         points, stride, max_depth_change_factor, normal_smoothing_size
@@ -135,32 +222,40 @@ def _normal_angles_impl(
     h, w = points.shape[0], points.shape[1]
     z = points[..., 2]
     invalid = jnp.isnan(z)
+    ys_full = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs_full = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
-    # --- depth-change map (integral_image_normal.hpp computeDepthChangeMap)
+    # --- depth-change map: pairs (x, x+1) / (y, y+1) evaluated inside the
+    # image; either non-finite depth or |dz| over threshold marks BOTH.
     thresh = max_depth_change_factor * (jnp.abs(z) + 1.0) * 2.0
     z_r = _shift(z, 0, -1)  # right neighbor
     z_d = _shift(z, -1, 0)  # below neighbor
-    change_x = jnp.isnan(z_r) | (jnp.abs(z - z_r) > thresh)
-    change_y = jnp.isnan(z_d) | (jnp.abs(z - z_d) > thresh)
-    change = change_x | change_y | invalid
-    # Mark both pixels adjacent to a horizontal/vertical change.
+    change_x = (xs_full < w - 1) & (
+        invalid | jnp.isnan(z_r) | (jnp.abs(z - z_r) > thresh)
+    )
+    change_y = (ys_full < h - 1) & (
+        invalid | jnp.isnan(z_d) | (jnp.abs(z - z_d) > thresh)
+    )
     change = (
-        change
-        | jnp.roll(change_x, 1, axis=1)
-        | jnp.roll(change_y, 1, axis=0)
+        change_x
+        | change_y
+        | jnp.roll(change_x, 1, axis=1)  # partner x+1 (col w-1 never wraps)
+        | jnp.roll(change_y, 1, axis=0)  # partner y+1
     )
 
-    distance = l1_distance_transform(change)
+    distance = chamfer_distance_map(change, saturation=normal_smoothing_size)
 
-    # --- central-difference 3D gradients
-    grad_x = (_shift(points, 0, -1) - _shift(points, 0, 1)) * 0.5
-    grad_y = (_shift(points, -1, 0) - _shift(points, 1, 0)) * 0.5
+    # --- central-difference 3D gradients (PCL keeps sums unscaled).
+    grad_x = _shift(points, 0, -1) - _shift(points, 0, 1)
+    grad_y = _shift(points, -1, 0) - _shift(points, 1, 0)
     gx_valid = ~jnp.isnan(grad_x[..., 0])
     gy_valid = ~jnp.isnan(grad_y[..., 0])
     grad_x = jnp.nan_to_num(grad_x)
     grad_y = jnp.nan_to_num(grad_y)
 
-    rmax = int(normal_smoothing_size // 2)
+    border = int(normal_smoothing_size)
+    rect_max = int(normal_smoothing_size)  # rects take values 2..rect_max
+    rmax = rect_max // 2
 
     if stride is not None:
         s = stride
@@ -168,7 +263,7 @@ def _normal_angles_impl(
         distance_g = distance[::s, ::s]
         invalid_g = invalid[::s, ::s]
         smoothing = jnp.minimum(distance_g, normal_smoothing_size)
-        radius = jnp.floor(smoothing * 0.5).astype(jnp.int32)
+        rect = smoothing.astype(jnp.int32)  # int() truncation
 
         # One 8-channel stack: grad_x (3), grad_y (3), count_x, count_y.
         stack = jnp.concatenate(
@@ -181,12 +276,12 @@ def _normal_angles_impl(
             axis=-1,
         )
         integ = _masked_integral(stack)  # [h+1, w+1, 8]
-        # Pad the back far enough that every phase sub-image holds the full
-        # [offset + gh/gw] extent (edge replication keeps clamp semantics;
-        # rows past the image are never selected by any radius mask).
+        # Pad so every phase sub-image holds the full [offset + gh/gw]
+        # extent (edge replication keeps clamp semantics; out-of-image rows
+        # are never selected: the border frame is masked below).
         off = (2 * rmax + 1) // s
-        back_y = max(rmax, (off + gh) * s - (h + 1) - rmax)
-        back_x = max(rmax, (off + gw) * s - (w + 1) - rmax)
+        back_y = max(rmax + 1, (off + gh) * s - (h + 1) - rmax)
+        back_x = max(rmax + 1, (off + gw) * s - (w + 1) - rmax)
         ip = jnp.pad(
             integ, [(rmax, back_y), (rmax, back_x), (0, 0)], mode="edge"
         )
@@ -201,46 +296,54 @@ def _normal_angles_impl(
             return jax.lax.dynamic_slice(ph, (g0 // s, g1 // s, 0), (gh, gw, 8))
 
         acc = jnp.zeros((gh, gw, 8), jnp.float32)
-        for r in range(rmax + 1):
+        for r in range(2, rect_max + 1):
+            # Window [pos - r//2, pos - r//2 + r) inclusive-exclusive.
+            d0 = -(r // 2)
+            d1 = d0 + r  # exclusive -> integral corner offset
             box = (
-                corner(r + 1, r + 1)
-                - corner(-r, r + 1)
-                - corner(r + 1, -r)
-                + corner(-r, -r)
+                corner(d1, d1)
+                - corner(d0, d1)
+                - corner(d1, d0)
+                + corner(d0, d0)
             )
-            acc = jnp.where((radius == r)[..., None], box, acc)
+            acc = jnp.where((rect == r)[..., None], box, acc)
         sum_gx, sum_gy = acc[..., 0:3], acc[..., 3:6]
         cnt_x, cnt_y = acc[..., 6], acc[..., 7]
         invalid = invalid_g
+        ys_g = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0) * s
+        xs_g = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) * s
     else:
         ix = _masked_integral(grad_x)
         iy = _masked_integral(grad_y)
         icx = _masked_integral(gx_valid.astype(jnp.float32))
         icy = _masked_integral(gy_valid.astype(jnp.float32))
-        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         smoothing = jnp.minimum(distance, normal_smoothing_size)
-        radius = jnp.floor(smoothing * 0.5).astype(jnp.int32)
-        y0 = jnp.maximum(ys - radius, 0)
-        y1 = jnp.minimum(ys + radius, h - 1)
-        x0 = jnp.maximum(xs - radius, 0)
-        x1 = jnp.minimum(xs + radius, w - 1)
+        rect = smoothing.astype(jnp.int32)
+        r2 = rect // 2
+        y0 = jnp.clip(ys_full - r2, 0, h - 1)
+        y1 = jnp.clip(ys_full - r2 + rect - 1, 0, h - 1)
+        x0 = jnp.clip(xs_full - r2, 0, w - 1)
+        x1 = jnp.clip(xs_full - r2 + rect - 1, 0, w - 1)
         sum_gx = _box_sum_gather(ix, y0, y1, x0, x1)
         sum_gy = _box_sum_gather(iy, y0, y1, x0, x1)
         cnt_x = _box_sum_gather(icx, y0, y1, x0, x1)
         cnt_y = _box_sum_gather(icy, y0, y1, x0, x1)
+        ys_g, xs_g = ys_full, xs_full
 
-    gx = sum_gx / jnp.maximum(cnt_x, 1.0)[..., None]
-    gy = sum_gy / jnp.maximum(cnt_y, 1.0)[..., None]
-    normal = jnp.cross(gx, gy)
+    normal = jnp.cross(sum_gy, sum_gx)
     norm = jnp.linalg.norm(normal, axis=-1)
 
     ok = (
-        (smoothing > 2.0)  # PCL skips windows smaller than its minimum rect
+        (smoothing > 2.0)  # PCL's minimum-window gate
         & ~invalid
         & (cnt_x > 0)
         & (cnt_y > 0)
         & (norm > 0)
+        # PCL skips a border = int(normal_smoothing_size) frame outright.
+        & (ys_g >= border)
+        & (ys_g < h - border)
+        & (xs_g >= border)
+        & (xs_g < w - border)
     )
     nz = jnp.abs(normal[..., 2]) / jnp.maximum(norm, 1e-20)
     angle = jnp.arccos(jnp.clip(nz, 0.0, 1.0))

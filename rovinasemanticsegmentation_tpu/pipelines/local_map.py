@@ -32,7 +32,12 @@ from ..models.crf import (
     potts_mean_field,
     potts_mean_field_multi,
 )
-from ..models.lattice import build_lattice, lattice_filter, pad_lattice
+from ..models.lattice import (
+    attach_sorted_stream,
+    build_lattice,
+    lattice_filter,
+    pad_lattice,
+)
 
 
 @dataclass
@@ -91,39 +96,47 @@ def _crf_labels(
 )
 def _crf_labels_multi(
     unaries: jnp.ndarray,  # [N, sum(blocks)] all layers' unaries concatenated
-    offsets: jnp.ndarray,
-    barycentric: jnp.ndarray,
+    sorted_points: jnp.ndarray,
+    sorted_weights: jnp.ndarray,
+    seg_starts: jnp.ndarray,
+    seg_ends: jnp.ndarray,
+    offsets_t: jnp.ndarray,
+    barycentric_t: jnp.ndarray,
     blur_n1: jnp.ndarray,
     blur_n2: jnp.ndarray,
-    norm: jnp.ndarray,
     weight: jnp.ndarray,
     blocks: Tuple[int, ...],
     num_vertices: int,
     n_iterations: int,
     unknown_labels: Tuple[int, ...],
 ) -> Tuple[jnp.ndarray, ...]:
-    """All layers' labels from ONE fused mean-field (same math per layer as
-    :func:`_crf_labels`; the shared filter makes it ~2x cheaper). ``norm``
-    may be None — then the symmetric normalization is computed inline
-    (saves a round trip; pairwise.cpp:54-56)."""
-    if norm is None:
-        raw = lattice_filter(
-            jnp.ones((unaries.shape[0], 1), jnp.float32),
-            offsets, barycentric, blur_n1, blur_n2, num_vertices,
-        )[:, 0]
-        norm = 1.0 / jnp.sqrt(raw + 1e-20)
-    q = potts_mean_field_multi(
-        -unaries, offsets, barycentric, blur_n1, blur_n2, norm, weight,
+    """All layers' labels from ONE fused transposed mean-field (same math
+    per layer as :func:`_crf_labels`; the shared filter and the [C, N]
+    layout make it ~10x cheaper on TPU). The symmetric normalization is
+    computed inline from a filtered ones-vector (pairwise.cpp:54-56)."""
+    from ..models.crf import potts_mean_field_multi_t
+    from ..models.lattice import lattice_filter_t
+
+    n = unaries.shape[0]
+    raw = lattice_filter_t(
+        jnp.ones((1, n), jnp.float32),
+        sorted_points, sorted_weights, seg_starts, seg_ends,
+        offsets_t, barycentric_t, blur_n1, blur_n2, num_vertices,
+    )[0]
+    norm = 1.0 / jnp.sqrt(raw + 1e-20)
+    q = potts_mean_field_multi_t(
+        -unaries.T, sorted_points, sorted_weights, seg_starts, seg_ends,
+        offsets_t, barycentric_t, blur_n1, blur_n2, norm, weight,
         blocks, num_vertices, n_iterations,
-    )
+    )  # [Ctot, N]
     out = []
     start = 0
     for c, unk in zip(blocks, unknown_labels):
-        ql = q[:, start : start + c]
+        ql = q[start : start + c]
         start += c
         floor = jnp.float32(2.0 / c)
-        max_val = jnp.max(ql, axis=1)
-        lbl = jnp.argmax(ql, axis=1).astype(jnp.int32)
+        max_val = jnp.max(ql, axis=0)
+        lbl = jnp.argmax(ql, axis=0).astype(jnp.int32)
         out.append(jnp.where(max_val > floor, lbl, jnp.int32(unk)))
     return tuple(out)
 
@@ -310,14 +323,17 @@ class LocalMapPipeline:
             )  # [N, 6] (segmenter.cpp:629-637)
             # Bucket the vertex count so repeated maps reuse the compiled
             # mean-field (M varies per map; static shapes would recompile).
-            lattice = pad_lattice(build_lattice(feats))
+            lattice = attach_sorted_stream(pad_lattice(build_lattice(feats)))
             labels = _crf_labels_multi(
                 jnp.concatenate(list(unaries), axis=1),
-                jnp.asarray(lattice.offsets),
-                jnp.asarray(lattice.barycentric),
+                jnp.asarray(lattice.sorted_points),
+                jnp.asarray(lattice.sorted_weights),
+                jnp.asarray(lattice.seg_starts),
+                jnp.asarray(lattice.seg_ends),
+                jnp.asarray(lattice.offsets.T),
+                jnp.asarray(lattice.barycentric.T),
                 jnp.asarray(lattice.blur_n1),
                 jnp.asarray(lattice.blur_n2),
-                None,  # norm computed inline (one fewer round trip)
                 jnp.float32(self.crf.kernel_weight),
                 tuple(self.class_counts),
                 lattice.num_vertices,

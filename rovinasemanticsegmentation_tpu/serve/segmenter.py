@@ -187,6 +187,19 @@ class Segmenter:
         """
         h, w = image_size
         self._camera_h, self._camera_w = int(h), int(w)
+        # Camera-size uniformity (segmenter.cpp:193-199): the reference
+        # derives each camera's image size from its principal point
+        # (2*cx, 2*cy) and requires all cameras to agree with the first.
+        size_seen = None
+        for calib in calibrations:
+            cw = float(calib.intrinsic[0, 2]) * 2
+            ch = float(calib.intrinsic[1, 2]) * 2
+            if size_seen is None:
+                size_seen = (cw, ch)
+            elif size_seen != (cw, ch):
+                raise RuntimeError(
+                    "Cameras with different image sizes are not supported!"
+                )
         with self._frame_lock:
             for name, calib in zip(camera_order, calibrations):
                 if name not in self._camera_map:

@@ -65,6 +65,11 @@ class TrainerConfig:
     num_bootstrap_examples: int = 0  # 0 = autoconf dataset size
     smoothing: float = 1.0
     seed: int = 0
+    # learning.h:111,130-132: weight split entropies by inverted class
+    # frequency of the bootstrap sample. Single-label only — the reference
+    # prints "not supported in the multi class case" (learning.cpp:498) and
+    # proceeds unweighted; train.cpp:232 disables it for ROVINA.
+    use_class_frequency: bool = False
 
     @classmethod
     def from_config(cls, conf: Config, seed: int = 0) -> "TrainerConfig":
@@ -95,6 +100,7 @@ def split_search_step(
     vals: jnp.ndarray,  # [Ns] feature value per example (node's slot-k feature)
     seg: jnp.ndarray,  # [Ns] frontier index per example, num_segments = inactive
     cls: jnp.ndarray,  # [Ns] class label per example (node's chosen layer)
+    class_weights: jnp.ndarray,  # [C] entropy weights (ones = unweighted)
     num_segments: int,
     num_classes: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -134,9 +140,14 @@ def split_search_step(
         & (sorted_vals - prev_vals >= 1e-6)  # learning.cpp:576-583
         & (left.sum(axis=1) > 0)
     )
+    # Entropy on class-prior-weighted counts (EfficientEntropyHistogram's
+    # weighted_histogram/weighted_mass, learning.cpp:220-256); masses and
+    # validity stay UNWEIGHTED (getMass(), :258).
+    wl = left * class_weights[None, :]
+    wr = right * class_weights[None, :]
     objective = jnp.where(
         valid,
-        _unnormalized_entropy(left) + _unnormalized_entropy(right),
+        _unnormalized_entropy(wl) + _unnormalized_entropy(wr),
         jnp.inf,
     )
     threshold = 0.5 * (prev_vals + sorted_vals)
@@ -163,6 +174,7 @@ def multi_slot_split_search(
     seg: jnp.ndarray,  # [Ns] frontier slot per example (F = inactive)
     seg_search: jnp.ndarray,  # [Ns] like seg but masking unsearchable nodes
     cls: jnp.ndarray,  # [Ns]
+    class_weights: jnp.ndarray,  # [C]
     num_segments: int,
     num_classes: int,
 ):
@@ -174,7 +186,7 @@ def multi_slot_split_search(
         )
         vals = jnp.take_along_axis(x, feat_per_example[:, None], axis=1)[:, 0]
         return split_search_step(
-            vals, seg_search, cls, num_segments, num_classes
+            vals, seg_search, cls, class_weights, num_segments, num_classes
         )
 
     return jax.vmap(one_slot)(feats.T)  # each output [K, F]
@@ -193,6 +205,7 @@ def level_search_step(
     layers: jnp.ndarray,  # [F] chosen layer per slot
     depth_ok: jnp.ndarray,  # [F] bool: depth <= max_depth per slot
     min_split: jnp.ndarray,  # scalar
+    class_weights: jnp.ndarray,  # [C]
     num_segments: int,
     num_classes: int,
     num_layers: int,
@@ -215,7 +228,8 @@ def level_search_step(
         num_segments,
     )
     obj_k, thr_k, lm_k, rm_k = multi_slot_split_search(
-        x, feats, seg, seg_search, cls, num_segments, num_classes
+        x, feats, seg, seg_search, cls, class_weights, num_segments,
+        num_classes,
     )
     return searchable, obj_k, thr_k, lm_k, rm_k
 
@@ -288,6 +302,23 @@ def _grow_tree(
     k = cfg.num_features or int(math.ceil(math.sqrt(d)))
     y_dev = jnp.asarray(y.astype(np.int32))
 
+    # Inverted class frequency of the bootstrap sample (learning.cpp:710,
+    # data.h:346-357); multi-label is unweighted, as in the reference
+    # (learning.cpp:498 prints "not supported" and proceeds with ones).
+    class_weights = np.ones(num_classes, np.float32)
+    if cfg.use_class_frequency:
+        if num_layers > 1:
+            log.warning(
+                "class frequency weighting is not supported in the "
+                "multi-label case (libforest parity); proceeding unweighted"
+            )
+        else:
+            counts = np.bincount(
+                y[:, 0].astype(np.int64), minlength=num_classes
+            ).astype(np.float32)
+            class_weights = np.where(counts > 0, ns / np.maximum(counts, 1), 1.0)
+    class_weights_dev = jnp.asarray(class_weights)
+
     tree = _TreeBuilder()
     node_of = jnp.zeros((ns,), jnp.int32)
     frontier = [0]  # node ids eligible for splitting at this depth
@@ -344,7 +375,7 @@ def _grow_tree(
         searchable, obj_k, thr_k, lm_k, rm_k = level_search_step(
             x, feats_dev, seg, cls, y_dev,
             jnp.asarray(layers_pad), jnp.asarray(depth_ok),
-            jnp.float32(cfg.min_split_examples),
+            jnp.float32(cfg.min_split_examples), class_weights_dev,
             f_pad, num_classes, num_layers,
         )
         searchable = np.asarray(searchable)[:f_count]

@@ -52,6 +52,57 @@ def write_csv_dataset(
         writer.writerow([int(y)] + [repr(float(v)) for v in x])
 
 
+def read_libsvm_dataset(
+    stream: TextIO, num_features: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """LIBSVM sparse text: ``label idx:val ...`` per line, 1-based indices.
+
+    The reference declares ``LIBSVMDataProvider``/``LIBSVMDataPWriter``
+    (``/root/reference/third-party/libforest/include/libforest/data.h:511,570``)
+    without shipping an implementation; this implements the standard format
+    they name. Missing indices are zeros; ``num_features`` pads/clips the
+    width (0 = infer from the data). ``#`` comments and blank lines are
+    skipped.
+    """
+    rows: List[dict] = []
+    labels: List[int] = []
+    max_idx = num_features
+    for line in stream:
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        labels.append(int(float(parts[0])))
+        entries = {}
+        for tok in parts[1:]:
+            idx, val = tok.split(":")
+            i = int(idx)
+            if i < 1:
+                raise ValueError(f"LIBSVM indices are 1-based, got {i}")
+            entries[i] = float(val)
+            max_idx = max(max_idx, i)
+        rows.append(entries)
+    d = max_idx if num_features == 0 else num_features
+    x = np.zeros((len(rows), d), np.float32)
+    for r, entries in enumerate(rows):
+        for i, v in entries.items():
+            if i <= d:
+                x[r, i - 1] = v
+    return x, np.asarray(labels, np.int32)
+
+
+def write_libsvm_dataset(
+    stream: TextIO, features: np.ndarray, labels: np.ndarray
+) -> None:
+    """Sparse LIBSVM text output (zeros omitted, 1-based indices)."""
+    for x, y in zip(np.asarray(features), np.asarray(labels)):
+        toks = [str(int(y))]
+        for i, v in enumerate(x):
+            if v != 0:
+                toks.append(f"{i + 1}:{float(v):g}")
+        stream.write(" ".join(toks) + "\n")
+
+
 def read_libforest_dataset(f: BinaryIO) -> Tuple[np.ndarray, np.ndarray]:
     """data.cpp:442-459: N, then per point (label, dim, values)."""
     (n,) = struct.unpack("<i", f.read(4))

@@ -123,6 +123,29 @@ class TestDataIO:
         # Integer labels "0"/"1" sort to themselves.
         np.testing.assert_array_equal(y2, y)
 
+    def test_libsvm_roundtrip_and_format(self):
+        from rovinasemanticsegmentation_tpu.utils.data_io import (
+            read_libsvm_dataset,
+            write_libsvm_dataset,
+        )
+
+        text = "1 1:0.5 3:2.0\n0 2:-1.5  # trailing comment\n\n2 1:1\n"
+        x, y = read_libsvm_dataset(io.StringIO(text))
+        np.testing.assert_array_equal(y, [1, 0, 2])
+        np.testing.assert_allclose(
+            x, [[0.5, 0, 2.0], [0, -1.5, 0], [1, 0, 0]]
+        )
+        # Fixed width pads/clips.
+        x5, _ = read_libsvm_dataset(io.StringIO(text), num_features=5)
+        assert x5.shape == (3, 5)
+
+        buf = io.StringIO()
+        write_libsvm_dataset(buf, x, y)
+        buf.seek(0)
+        x2, y2 = read_libsvm_dataset(buf)
+        np.testing.assert_array_equal(y2, y)
+        np.testing.assert_allclose(x2, x)
+
     def test_libforest_binary_roundtrip(self):
         rng = np.random.default_rng(1)
         x = rng.normal(size=(10, 7)).astype(np.float32)

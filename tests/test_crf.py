@@ -210,6 +210,38 @@ class TestLattice:
             atol=2e-3,
         )
 
+    def test_transposed_filter_matches(self, features):
+        """lattice_filter_t ([C, N] layout, sorted-segment splat) equals the
+        points-major filter up to f32 summation order."""
+        from rovinasemanticsegmentation_tpu.models.lattice import (
+            attach_sorted_stream,
+            lattice_filter_t,
+            pad_lattice,
+        )
+
+        lat = attach_sorted_stream(pad_lattice(build_lattice(features), 64))
+        rng = np.random.default_rng(2)
+        vals = rng.normal(size=(features.shape[0], 3)).astype(np.float32)
+        want = _jax_filter(lat, vals)
+        for reverse in (False, True):
+            got = np.asarray(
+                lattice_filter_t(
+                    jnp.asarray(vals.T),
+                    jnp.asarray(lat.sorted_points),
+                    jnp.asarray(lat.sorted_weights),
+                    jnp.asarray(lat.seg_starts),
+                    jnp.asarray(lat.seg_ends),
+                    jnp.asarray(lat.offsets.T),
+                    jnp.asarray(lat.barycentric.T),
+                    jnp.asarray(lat.blur_n1),
+                    jnp.asarray(lat.blur_n2),
+                    lat.num_vertices,
+                    reverse=reverse,
+                )
+            ).T
+            want_r = _jax_filter(lat, vals, reverse=reverse)
+            np.testing.assert_allclose(got, want_r, rtol=1e-4, atol=1e-5)
+
     def test_gaussian_behavior(self):
         # Identical features -> filter approximately sums everything
         # (the lattice's known self-weight deficit ~5% at d=3); far-apart

@@ -178,6 +178,30 @@ class TestDenseInferenceDemo:
         np.testing.assert_array_equal(load_ppm(out), load_ppm(golden))
 
 
+class TestDenseLearningDemo:
+    REF = "/root/reference/third-party/densecrf/examples"
+
+    @pytest.mark.skipif(
+        not os.path.exists(REF + "/im2.ppm"), reason="reference PPMs absent"
+    )
+    def test_three_phase_learning_improves(self, tmp_path):
+        """cli/dense_learning mirrors examples/dense_learning.cpp:146-175:
+        unary -> unary+pairwise -> full-kernel phases, each improving the
+        IoU objective. Downscaled for test speed (full-scale run on the
+        same pair: 0.318 -> 0.345 -> 0.348 at scale 4)."""
+        from rovinasemanticsegmentation_tpu.cli.dense_learning import run
+
+        out = str(tmp_path / "out.ppm")
+        history = run(
+            self.REF + "/im2.ppm", self.REF + "/anno2.ppm", out, scale=8
+        )
+        assert len(history) == 3
+        assert history[1] >= history[0] - 1e-4
+        assert history[2] >= history[1] - 1e-4
+        assert history[0] > 0.05  # the unary phase alone must learn
+        assert os.path.exists(out)
+
+
 class TestLatticeFeatureGradient:
     """The reference's own test methodology (test_permutohedral.cpp:64-88):
     analytic d/df of a^T K b vs central finite differences."""

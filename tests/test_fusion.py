@@ -231,3 +231,53 @@ class TestFusedLayers:
                 fused[:, start : start + c], single, rtol=1e-6, atol=1e-7
             )
             start += c
+
+    def test_transposed_multi_matches(self):
+        """potts_mean_field_multi_t (serving path) == potts_mean_field_multi
+        up to splat summation order."""
+        import jax.numpy as jnp
+        from rovinasemanticsegmentation_tpu.models.crf import (
+            potts_mean_field_multi,
+            potts_mean_field_multi_t,
+        )
+        from rovinasemanticsegmentation_tpu.models.lattice import (
+            attach_sorted_stream,
+            build_lattice,
+            lattice_filter,
+            pad_lattice,
+        )
+
+        rng = np.random.default_rng(10)
+        n = 300
+        feats = rng.normal(size=(n, 6)).astype(np.float32)
+        lat = attach_sorted_stream(pad_lattice(build_lattice(feats), 64))
+        offsets = jnp.asarray(lat.offsets)
+        bary = jnp.asarray(lat.barycentric)
+        n1 = jnp.asarray(lat.blur_n1)
+        n2 = jnp.asarray(lat.blur_n2)
+        raw = lattice_filter(
+            jnp.ones((n, 1)), offsets, bary, n1, n2, lat.num_vertices
+        )[:, 0]
+        norm = 1.0 / jnp.sqrt(raw + 1e-20)
+        w = jnp.float32(10.0)
+        blocks = (8, 9)
+        u = rng.normal(size=(n, sum(blocks))).astype(np.float32)
+        want = np.asarray(
+            potts_mean_field_multi(
+                jnp.asarray(u), offsets, bary, n1, n2, norm, w,
+                blocks, lat.num_vertices, 10,
+            )
+        )
+        got = np.asarray(
+            potts_mean_field_multi_t(
+                jnp.asarray(u.T),
+                jnp.asarray(lat.sorted_points),
+                jnp.asarray(lat.sorted_weights),
+                jnp.asarray(lat.seg_starts),
+                jnp.asarray(lat.seg_ends),
+                jnp.asarray(lat.offsets.T),
+                jnp.asarray(lat.barycentric.T),
+                n1, n2, norm, w, blocks, lat.num_vertices, 10,
+            )
+        ).T
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)

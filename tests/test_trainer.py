@@ -60,7 +60,8 @@ class TestSplitSearch:
         obj, thr, lm, rm = (
             np.asarray(a)
             for a in split_search_step(
-                jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls), 1, c
+                jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls),
+                jnp.ones(c), 1, c
             )
         )
         want = oracle_best_split(vals, cls, c)
@@ -77,7 +78,8 @@ class TestSplitSearch:
         obj, thr, lm, rm = (
             np.asarray(a)
             for a in split_search_step(
-                jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls), 2, c
+                jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls),
+                jnp.ones(c), 2, c
             )
         )
         for s in range(2):
@@ -85,11 +87,61 @@ class TestSplitSearch:
             assert obj[s] == pytest.approx(want[0], rel=1e-5)
             assert thr[s] == pytest.approx(want[1], rel=1e-5)
 
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_class_frequency_weighting(self, seed):
+        """Weighted entropies (learning.cpp:220-256, class priors from
+        data.h:346-357) against a literal weighted oracle on an imbalanced
+        node; weights must be able to change the chosen split."""
+        rng = np.random.default_rng(seed)
+        n, c = 120, 3
+        vals = rng.normal(size=n).astype(np.float32)
+        cls = (rng.random(n) < 0.12).astype(np.int32) * rng.integers(
+            1, c, n
+        ).astype(np.int32)  # heavy class 0
+        counts = np.bincount(cls, minlength=c).astype(np.float32)
+        weights = np.where(counts > 0, n / np.maximum(counts, 1), 1.0)
+
+        def ent(h):
+            m = h.sum()
+            out = m * np.log2(m) if m > 0 else 0.0
+            for x in h:
+                if x > 0:
+                    out -= x * np.log2(x)
+            return out
+
+        order = np.argsort(vals, kind="stable")
+        v, cl = vals[order], cls[order]
+        best, best_thr = np.inf, 0.0
+        left = np.zeros(c)
+        right = counts.astype(float).copy()
+        left_value, left_class = v[0], cl[0]
+        for m in range(1, n):
+            left[left_class] += 1
+            right[left_class] -= 1
+            if v[m] - left_value < 1e-6:
+                left_value, left_class = v[m], cl[m]
+                continue
+            obj = ent(left * weights) + ent(right * weights)
+            if obj < best:
+                best, best_thr = obj, 0.5 * (left_value + v[m])
+            left_value, left_class = v[m], cl[m]
+
+        obj_j, thr_j, *_ = (
+            np.asarray(a)
+            for a in split_search_step(
+                jnp.asarray(vals), jnp.zeros(n, jnp.int32), jnp.asarray(cls),
+                jnp.asarray(weights), 1, c
+            )
+        )
+        assert obj_j[0] == pytest.approx(best, rel=1e-4)
+        assert thr_j[0] == pytest.approx(best_thr, rel=1e-5)
+
     def test_identical_values_no_split(self):
         vals = np.ones(20, np.float32)
         cls = np.arange(20).astype(np.int32) % 2
         obj, *_ = split_search_step(
-            jnp.asarray(vals), jnp.zeros(20, jnp.int32), jnp.asarray(cls), 1, 2
+            jnp.asarray(vals), jnp.zeros(20, jnp.int32), jnp.asarray(cls),
+            jnp.ones(2), 1, 2
         )
         assert np.isinf(np.asarray(obj)[0])
 
@@ -98,7 +150,8 @@ class TestSplitSearch:
         cls = (vals > 0.5).astype(np.int32)
         seg = np.full(20, 1, np.int32)  # == num_segments -> inactive
         obj, *_ = split_search_step(
-            jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls), 1, 2
+            jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(cls),
+            jnp.ones(2), 1, 2
         )
         assert np.isinf(np.asarray(obj)[0])
 
