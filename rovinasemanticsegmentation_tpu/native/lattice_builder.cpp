@@ -85,94 +85,122 @@ extern "C" {
 static thread_local KeyTable* g_table = nullptr;
 static thread_local int g_dim = 0;
 
+namespace {
+
+// Stage 1: map a feature row onto the E-embedding hyperplane sum(y) = 0.
+// y[j] = (sum of scaled coords at indices >= j) - j * scaled[j-1], built
+// from a precomputed right-to-left running sum (IEEE addition commutes, so
+// this matches the accumulator formulation bit-for-bit).
+inline void embed_point(const float* f, const float* axis_scale, int d,
+                        float* tail_sum, float* y) {
+  tail_sum[d] = 0.0f;
+  for (int j = d - 1; j >= 0; --j)
+    tail_sum[j] = f[j] * axis_scale[j] + tail_sum[j + 1];
+  y[0] = tail_sum[0];
+  for (int j = 1; j <= d; ++j)
+    y[j] = tail_sum[j] - static_cast<float>(j) * (f[j - 1] * axis_scale[j - 1]);
+}
+
+// Stage 2: nearest lattice remainder point (each coordinate snapped to a
+// multiple of d+1) and its color sum / (d+1).
+inline int snap_to_remainder(const float* y, int d, float* snapped) {
+  const float inv = 1.0f / (d + 1);
+  const float unit = static_cast<float>(d + 1);
+  int color = 0;
+  for (int i = 0; i <= d; ++i) {
+    const float t = inv * y[i];
+    const float above = std::ceil(t) * unit;
+    const float below = std::floor(t) * unit;
+    // Pick whichever multiple is closer (ties go down, as the metric
+    // comparison below is strict).
+    const bool take_above = above - y[i] < y[i] - below;
+    const int snapped_i =
+        take_above ? static_cast<int>(above) : static_cast<int>(below);
+    snapped[i] = static_cast<float>(snapped_i);
+    color += static_cast<int>(snapped_i * inv);
+  }
+  return color;
+}
+
+// Stage 3: descending-order rank of the residuals y - snapped, computed
+// per coordinate by counting (a) later coordinates strictly larger and
+// (b) earlier coordinates at least as large — ties break by index, the
+// same total order a stable descending sort induces.
+inline void residual_ranks(const float* y, const float* snapped, int d,
+                           int* order) {
+  for (int i = 0; i <= d; ++i) {
+    const float res_i = y[i] - snapped[i];
+    int r = 0;
+    for (int j = 0; j <= d; ++j) {
+      if (j == i) continue;
+      const float res_j = y[j] - snapped[j];
+      if (j > i ? (res_i < res_j) : (res_j >= res_i)) ++r;
+    }
+    order[i] = r;
+  }
+}
+
+}  // namespace
+
 int rovina_lattice_build(const float* features, int n, int d,
                          int32_t* offsets, float* barycentric) {
   delete g_table;
   g_table = new KeyTable(d, static_cast<size_t>(n) * (d + 1));
   g_dim = d;
 
-  std::vector<float> scale(d);
+  // Per-axis embedding scales: inv_std_dev / sqrt((i+1)(i+2)).
+  std::vector<float> axis_scale(d);
   const float inv_std_dev = std::sqrt(2.0f / 3.0f) * (d + 1);
   for (int i = 0; i < d; ++i)
-    scale[i] = 1.0f / std::sqrt(static_cast<float>((i + 2) * (i + 1))) *
-               inv_std_dev;
+    axis_scale[i] =
+        1.0f / std::sqrt(static_cast<float>((i + 2) * (i + 1))) * inv_std_dev;
 
-  std::vector<int16_t> canonical((d + 1) * (d + 1));
-  for (int i = 0; i <= d; ++i) {
-    for (int j = 0; j <= d - i; ++j) canonical[i * (d + 1) + j] = i;
-    for (int j = d - i + 1; j <= d; ++j)
-      canonical[i * (d + 1) + j] = i - (d + 1);
-  }
-
-  std::vector<float> elevated(d + 1), rem0(d + 1), bary(d + 2);
-  std::vector<int16_t> rank(d + 1), key(d + 1);
-  const float down_factor = 1.0f / (d + 1);
-  const float up_factor = static_cast<float>(d + 1);
+  std::vector<float> tail_sum(d + 2), y(d + 1), snapped(d + 1), wts(d + 2);
+  std::vector<int> order(d + 1);
+  std::vector<int16_t> key(d + 1);
+  const float inv = 1.0f / (d + 1);
 
   for (int k = 0; k < n; ++k) {
-    const float* f = features + static_cast<size_t>(k) * d;
+    embed_point(features + static_cast<size_t>(k) * d, axis_scale.data(), d,
+                tail_sum.data(), y.data());
+    const int color = snap_to_remainder(y.data(), d, snapped.data());
+    residual_ranks(y.data(), snapped.data(), d, order.data());
 
-    // Elevate onto the hyperplane (permutohedral.cpp:360-370 semantics).
-    float sm = 0;
-    for (int j = d; j > 0; --j) {
-      const float cf = f[j - 1] * scale[j - 1];
-      elevated[j] = sm - j * cf;
-      sm += cf;
-    }
-    elevated[0] = sm;
-
-    // Round to the nearest 0-colored remainder point.
-    int sum = 0;
+    // Shift by the color sum and wrap coordinates whose rank leaves
+    // [0, d] back into range (moving the snapped point one cell).
     for (int i = 0; i <= d; ++i) {
-      const float v = down_factor * elevated[i];
-      const float up = std::ceil(v) * up_factor;
-      const float down = std::floor(v) * up_factor;
-      const int rd = (up - elevated[i] < elevated[i] - down)
-                         ? static_cast<int>(up)
-                         : static_cast<int>(down);
-      rem0[i] = static_cast<float>(rd);
-      sum += static_cast<int>(rd * down_factor);
-    }
-
-    // Rank within the sorted differences.
-    for (int i = 0; i <= d; ++i) rank[i] = 0;
-    for (int i = 0; i < d; ++i) {
-      const double di = elevated[i] - rem0[i];
-      for (int j = i + 1; j <= d; ++j) {
-        if (di < elevated[j] - rem0[j])
-          ++rank[i];
-        else
-          ++rank[j];
+      order[i] += color;
+      if (order[i] < 0) {
+        order[i] += d + 1;
+        snapped[i] += d + 1;
+      } else if (order[i] > d) {
+        order[i] -= d + 1;
+        snapped[i] -= d + 1;
       }
     }
 
-    // Wrap back onto the plane.
+    // Barycentric weights: each residual contributes +w at slot d-rank
+    // and -w at the next slot; slot 0 absorbs the wrap-around term.
+    for (int i = 0; i <= d + 1; ++i) wts[i] = 0.0f;
     for (int i = 0; i <= d; ++i) {
-      rank[i] = static_cast<int16_t>(rank[i] + sum);
-      if (rank[i] < 0) {
-        rank[i] = static_cast<int16_t>(rank[i] + d + 1);
-        rem0[i] += d + 1;
-      } else if (rank[i] > d) {
-        rank[i] = static_cast<int16_t>(rank[i] - (d + 1));
-        rem0[i] -= d + 1;
-      }
+      const float w = (y[i] - snapped[i]) * inv;
+      const int slot = d - order[i];
+      wts[slot] += w;
+      wts[slot + 1] -= w;
     }
+    wts[0] += 1.0f + wts[d + 1];
 
-    // Barycentric coordinates.
-    for (int i = 0; i <= d + 1; ++i) bary[i] = 0;
-    for (int i = 0; i <= d; ++i) {
-      const float v = (elevated[i] - rem0[i]) * down_factor;
-      bary[d - rank[i]] += v;
-      bary[d - rank[i] + 1] -= v;
-    }
-    bary[0] += 1.0f + bary[d + 1];
-
-    // Vertex per remainder.
+    // One simplex corner per color r: coordinate i moves up by r cells,
+    // wrapping by d+1 once its rank passes d - r. (The closed form of
+    // the canonical-simplex table.)
     for (int r = 0; r <= d; ++r) {
-      for (int i = 0; i < d; ++i)
-        key[i] = static_cast<int16_t>(rem0[i] + canonical[r * (d + 1) + rank[i]]);
-      offsets[static_cast<size_t>(k) * (d + 1) + r] = g_table->find(key.data(), true);
-      barycentric[static_cast<size_t>(k) * (d + 1) + r] = bary[r];
+      for (int i = 0; i < d; ++i) {
+        const int step = order[i] <= d - r ? r : r - (d + 1);
+        key[i] = static_cast<int16_t>(static_cast<int>(snapped[i]) + step);
+      }
+      offsets[static_cast<size_t>(k) * (d + 1) + r] =
+          g_table->find(key.data(), true);
+      barycentric[static_cast<size_t>(k) * (d + 1) + r] = wts[r];
     }
   }
   return g_table->size();
