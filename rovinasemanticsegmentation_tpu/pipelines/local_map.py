@@ -109,6 +109,7 @@ def _crf_labels_multi(
     num_vertices: int,
     n_iterations: int,
     unknown_labels: Tuple[int, ...],
+    overflow: "jnp.ndarray | None" = None,  # device bool: bucket overflow
 ) -> Tuple[jnp.ndarray, ...]:
     """All layers' labels from ONE fused transposed mean-field (same math
     per layer as :func:`_crf_labels`; the shared filter and the [C, N]
@@ -137,7 +138,13 @@ def _crf_labels_multi(
         floor = jnp.float32(2.0 / c)
         max_val = jnp.max(ql, axis=0)
         lbl = jnp.argmax(ql, axis=0).astype(jnp.int32)
-        out.append(jnp.where(max_val > floor, lbl, jnp.int32(unk)))
+        lbl = jnp.where(max_val > floor, lbl, jnp.int32(unk))
+        if overflow is not None:
+            # Vertex-bucket overflow poisons the whole layer to Unknown —
+            # an overt failure the first-map sync policy makes ~impossible
+            # (see LocalMapPipeline.label_map), never a subtle one.
+            lbl = jnp.where(overflow, jnp.int32(unk), lbl)
+        out.append(lbl)
     return tuple(out)
 
 
@@ -206,11 +213,15 @@ class LocalMapPipeline:
         class_counts: Sequence[int],
         unknown_labels: Sequence[int],
         crf: CrfParams = CrfParams(),
+        use_device_lattice: bool = True,
     ):
         self.projector = projector
         self.class_counts = [int(c) for c in class_counts]
         self.unknown_labels = [int(u) for u in unknown_labels]
         self.crf = crf
+        self.use_device_lattice = bool(use_device_lattice)
+        self._m_bucket = 1 << 14  # vertex-count bucket, grows on overflow
+        self._m_checked = set()  # cloud sizes whose bucket was validated
         self._zero_layers = None  # device zero posteriors, built lazily
 
     # ------------------------------------------------------------------
@@ -321,24 +332,61 @@ class LocalMapPipeline:
                 ],
                 axis=1,
             )  # [N, 6] (segmenter.cpp:629-637)
-            # Bucket the vertex count so repeated maps reuse the compiled
-            # mean-field (M varies per map; static shapes would recompile).
-            lattice = attach_sorted_stream(pad_lattice(build_lattice(feats)))
+            if self.use_device_lattice:
+                # ON-DEVICE lattice build: only the [N, 6] features cross
+                # the host link (~0.7 MB) instead of the built lattice
+                # (~4.4 MB + ~40 ms host build per map). The vertex-count
+                # bucket grows sticky on overflow (recompile, rare).
+                from ..models.lattice import build_lattice_device
+
+                feats_dev = jnp.asarray(feats)
+                n_pts = int(feats.shape[0])
+                built = build_lattice_device(
+                    feats_dev, m_bucket=self._m_bucket
+                )
+                if n_pts not in self._m_checked:
+                    # Sync the vertex count ONLY for the first map of each
+                    # cloud size: a steady-state per-map sync chases the
+                    # device queue tail (~one whole frame batch of latency
+                    # per map on the fusion worker). Later maps of the
+                    # same size run sync-free; a would-be overflow poisons
+                    # its labels to Unknown on device instead (overt).
+                    while int(built[-1]) > self._m_bucket:
+                        self._m_bucket *= 2  # recompiles once per growth
+                        built = build_lattice_device(
+                            feats_dev, m_bucket=self._m_bucket
+                        )
+                    self._m_checked.add(n_pts)
+                lattice_args = built[:8]
+                overflow = built[-1] > self._m_bucket
+                num_vertices = self._m_bucket
+            else:
+                # Host build (native hash-table) + upload; kept for hosts
+                # where the transfer link is fast and CPU cycles are free.
+                lattice = attach_sorted_stream(
+                    pad_lattice(build_lattice(feats))
+                )
+                lattice_args = (
+                    jnp.asarray(lattice.sorted_points),
+                    jnp.asarray(lattice.sorted_weights),
+                    jnp.asarray(lattice.seg_starts),
+                    jnp.asarray(lattice.seg_ends),
+                    jnp.asarray(lattice.offsets.T),
+                    jnp.asarray(lattice.barycentric.T),
+                    jnp.asarray(lattice.blur_n1),
+                    jnp.asarray(lattice.blur_n2),
+                )
+                overflow = None
+                num_vertices = lattice.num_vertices
             labels = _crf_labels_multi(
                 jnp.concatenate(list(unaries), axis=1),
-                jnp.asarray(lattice.sorted_points),
-                jnp.asarray(lattice.sorted_weights),
-                jnp.asarray(lattice.seg_starts),
-                jnp.asarray(lattice.seg_ends),
-                jnp.asarray(lattice.offsets.T),
-                jnp.asarray(lattice.barycentric.T),
-                jnp.asarray(lattice.blur_n1),
-                jnp.asarray(lattice.blur_n2),
+                *lattice_args,
                 jnp.float32(self.crf.kernel_weight),
                 tuple(self.class_counts),
-                lattice.num_vertices,
+                num_vertices,
                 self.crf.iterations,
                 tuple(self.unknown_labels),
+                overflow,
             )
             for lbl in labels:
                 result.append(

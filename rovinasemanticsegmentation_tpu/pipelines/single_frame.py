@@ -267,15 +267,37 @@ class SingleFramePipeline:
                 self.run(r, d, c)
                 for r, d, c in zip(rgbs, depths_mm, calibrations)
             ]
+        return self.run_batch_stacked(
+            np.stack([np.asarray(r) for r in rgbs]),
+            np.stack([np.asarray(d) for d in depths_mm]),
+            np.stack([np.asarray(c.intrinsic_inverse) for c in calibrations]),
+            np.stack([np.asarray(c.rotation) for c in calibrations]),
+            np.stack([np.asarray(c.translation) for c in calibrations]),
+        )
+
+    def run_batch_stacked(
+        self,
+        rgb_stack,  # [B, H, W, 3] uint8 (host or device-resident)
+        depth_stack,  # [B, H, W] uint16
+        kinv_stack,  # [B, 3, 3]
+        rot_stack,  # [B, 3, 3]
+        trans_stack,  # [B, 3]
+    ) -> List[SingleFrameResult]:
+        """Like :meth:`run_batch` on pre-stacked inputs.
+
+        Accepts device-resident arrays unchanged — serving loops that keep
+        frames on device (or stage them ahead of time) avoid the per-call
+        host->device transfers, which dominate on transfer-limited links.
+        """
         cfg = self.feature_config
-        h, w = np.asarray(depths_mm[0]).shape
+        h, w = int(depth_stack.shape[1]), int(depth_stack.shape[2])
         pp = self.pallas_predictor
         outs = _batch_frame_impl_pallas(
-            jnp.stack([jnp.asarray(r) for r in rgbs]),
-            jnp.stack([jnp.asarray(d) for d in depths_mm]),
-            jnp.stack([jnp.asarray(c.intrinsic_inverse) for c in calibrations]),
-            jnp.stack([jnp.asarray(c.rotation) for c in calibrations]),
-            jnp.stack([jnp.asarray(c.translation) for c in calibrations]),
+            jnp.asarray(rgb_stack),
+            jnp.asarray(depth_stack),
+            jnp.asarray(kinv_stack),
+            jnp.asarray(rot_stack),
+            jnp.asarray(trans_stack),
             jnp.float32(cfg.d_min),
             jnp.float32(cfg.d_max),
             pp.meta, pp.thresholds, pp.level_offsets, pp.level_chunks,

@@ -302,24 +302,54 @@ class Segmenter:
     # ------------------------------------------------------------------
     # Worker A: per-frame inference (segmenter.cpp:323-514)
     # ------------------------------------------------------------------
+    #: size ladder for opportunistic frame batching (powers of two keep
+    #: the number of compiled batch variants tiny).
+    _BATCH_LADDER = (8, 4, 2, 1)
+
     def _process_one_frame(self) -> bool:
-        """Pop and segment one frame from any camera queue; True if any."""
+        """Drain and segment queued frames; True if any were processed.
+
+        When a camera queue has backlog, up to 8 frames ride ONE batched
+        dispatch (DP over keyframes, SURVEY.md 2.5) — the serving analogue
+        of the reference's one-frame-at-a-time worker loop
+        (segmenter.cpp:323-443) that amortizes dispatch latency and fills
+        the chip when inference falls behind the camera rate.
+        """
         for i, cam in enumerate(self._cameras_in_order):
             with self._frame_lock:
                 if not self._image_queues[i]:
                     continue
-                seq, depth, rgb = self._image_queues[i].popleft()
+                avail = len(self._image_queues[i])
+                batch = 1
+                if self._external is None and self._frame_pipeline.use_pallas:
+                    batch = next(b for b in self._BATCH_LADDER if b <= avail)
+                popped = [
+                    self._image_queues[i].popleft() for _ in range(batch)
+                ]
                 calib = cam.calibration
             if self._external is not None:
-                posteriors = self._external_frame(rgb, depth, calib)
-            else:
+                (seq, depth, rgb) = popped[0]
+                posteriors = [self._external_frame(rgb, depth, calib)]
+                seqs = [seq]
+            elif batch == 1:
+                (seq, depth, rgb) = popped[0]
                 result = self._frame_pipeline.run(rgb, depth, calib)
                 # Keep posteriors on device: the fusion stage consumes them
                 # there (accumulate_unaries); pulling ~20MB per frame to the
                 # host would waste PCIe/tunnel bandwidth.
-                posteriors = list(result.posteriors)
+                posteriors = [list(result.posteriors)]
+                seqs = [seq]
+            else:
+                seqs = [p[0] for p in popped]
+                results = self._frame_pipeline.run_batch(
+                    [p[2] for p in popped],
+                    [p[1] for p in popped],
+                    [calib] * batch,
+                )
+                posteriors = [list(r.posteriors) for r in results]
             with self._frame_lock:
-                self._result_queues[i].append((seq, posteriors))
+                for seq, post in zip(seqs, posteriors):
+                    self._result_queues[i].append((seq, post))
             return True
         return False
 

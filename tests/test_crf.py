@@ -242,6 +242,51 @@ class TestLattice:
             want_r = _jax_filter(lat, vals, reverse=reverse)
             np.testing.assert_allclose(got, want_r, rtol=1e-4, atol=1e-5)
 
+    def test_device_build_matches_host(self, features):
+        """build_lattice_device == NumPy build + pad + sorted stream:
+        same vertex numbering (both lexicographic), offsets, barycentric,
+        blur tables, and filter output."""
+        from rovinasemanticsegmentation_tpu.models.lattice import (
+            attach_sorted_stream,
+            build_lattice_device,
+            lattice_filter_t,
+            pad_lattice,
+        )
+
+        rng = np.random.default_rng(11)
+        base = build_lattice(features, use_native=False)
+        bucket = 1 << int(np.ceil(np.log2(base.num_vertices + 1)))
+        host = attach_sorted_stream(pad_lattice(base, bucket))
+        out = build_lattice_device(jnp.asarray(features), m_bucket=bucket)
+        sp, sw, ss, se, ot, bt, b1, b2, m = out
+        m = int(m)
+        assert m == base.num_vertices
+        np.testing.assert_array_equal(np.asarray(ot).T, host.offsets)
+        np.testing.assert_allclose(
+            np.asarray(bt).T, host.barycentric, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(b1)[:, :m], host.blur_n1[:, :m])
+        np.testing.assert_array_equal(np.asarray(b2)[:, :m], host.blur_n2[:, :m])
+        vals = rng.normal(size=(3, features.shape[0])).astype(np.float32)
+        got = np.asarray(
+            lattice_filter_t(jnp.asarray(vals), sp, sw, ss, se, ot, bt, b1, b2, bucket)
+        )
+        want = np.asarray(
+            lattice_filter_t(
+                jnp.asarray(vals),
+                jnp.asarray(host.sorted_points),
+                jnp.asarray(host.sorted_weights),
+                jnp.asarray(host.seg_starts),
+                jnp.asarray(host.seg_ends),
+                jnp.asarray(host.offsets.T),
+                jnp.asarray(host.barycentric.T),
+                jnp.asarray(host.blur_n1),
+                jnp.asarray(host.blur_n2),
+                bucket,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
     def test_gaussian_behavior(self):
         # Identical features -> filter approximately sums everything
         # (the lattice's known self-weight deficit ~5% at d=3); far-apart

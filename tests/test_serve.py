@@ -171,6 +171,44 @@ class TestSegmenterRuntime:
         assert (tmp_path / "cloud7_rgb.npz").exists()
         assert (tmp_path / "cloud7_layer_0.npz").exists()
 
+    def test_batched_frame_worker_matches_single(self):
+        """Backlogged queues ride run_batch; results identical per frame."""
+        from rovinasemanticsegmentation_tpu.pipelines.single_frame import (
+            SingleFramePipeline,
+        )
+
+        def build(batched):
+            seg = make_segmenter()
+            seg.initialize_projector(["camera_front"], [make_calib()], (H, W))
+            seg.stop()
+            if batched:
+                # Force the Pallas (interpret off-TPU) pipeline so the
+                # batch ladder actually engages.
+                seg._frame_pipeline = SingleFramePipeline(
+                    seg.feature_config,
+                    seg._forest,
+                    stride=seg.rf_prediction_stride,
+                    fill_value=0.0,
+                    use_pallas=True,
+                )
+            for s in range(1, 5):
+                push_frame(seg, s, seed=s)
+                assert seg.on_new_node(MapNode(s, pose_at(0.2 * s), [s]))
+            # Drain: batched path takes one 4-frame dispatch.
+            while seg._process_one_frame():
+                pass
+            return [
+                (seq, [np.asarray(p) for p in post])
+                for seq, post in seg._result_queues[0]
+            ]
+
+        single = build(False)
+        batched = build(True)
+        assert [s for s, _ in batched] == [s for s, _ in single]
+        for (_, a), (_, b) in zip(batched, single):
+            for pa, pb in zip(a, b):
+                np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-5)
+
     def test_keyframe_gating(self):
         seg = make_segmenter()
         seg.initialize_projector(["camera_front"], [make_calib()], (H, W))
