@@ -206,10 +206,12 @@ def main() -> None:
             maps_done += 1
         # All work must COMPLETE inside the timed region — and results
         # must be MATERIALIZED: block_until_ready alone returns early
-        # while remote compiles are pending (see ROADMAP.md).
-        for fut in pending:
-            for l in fut.result():
-                np.asarray(l)
+        # while remote compiles are pending (see ROADMAP.md). ONE fused
+        # download: each np.asarray round trip costs ~35 ms of link
+        # latency, so the 12 per-epoch label arrays ride a single
+        # device-side concatenation.
+        all_labels = [l for fut in pending for l in fut.result()]
+        np.asarray(jnp.concatenate([l.astype(jnp.int32) for l in all_labels]))
         elapsed = time.perf_counter() - start
         kf_per_sec = max(kf_per_sec, N_KEYFRAMES / elapsed)
     fusion_worker.shutdown()

@@ -229,23 +229,38 @@ def _descent_kernel(
 
         # Up-convert every tree's f to the sublane domain: row p must hold
         # f-row p//128, i.e. a 128x sublane replication — a broadcast +
-        # reshape, no arithmetic. (Previously a [tile, S] x [S, T*128]
-        # one-hot matmul at precision=HIGHEST; the broadcast relayout is
-        # cheaper than an MXU round trip per level.)
-        f_stack = jnp.concatenate(
-            [m & fmask for m in metas], axis=1
-        )  # [S, T * 128]
+        # reshape, no arithmetic — followed by a [tile, 128]-domain diag
+        # gather per GROUP. The [tile, 128] diag gathers are the kernel's
+        # dominant cost (measured ~0.86 ms each over a VGA frame), so
+        # trees ride in groups of 3 packed into one int32 (3 * feat_bits
+        # <= 31): ceil(T/3) gathers instead of T.
+        per_word = max(1, 31 // feat_bits)
+        groups = [
+            list(range(g, min(g + per_word, num_trees)))
+            for g in range(0, num_trees, per_word)
+        ]
+        g_stacks = []
+        for grp in groups:
+            word = metas[grp[0]] & fmask
+            for k, t in enumerate(grp[1:], start=1):
+                word = word | ((metas[t] & fmask) << (k * feat_bits))
+            g_stacks.append(word)
+        f_stack = jnp.concatenate(g_stacks, axis=1)  # [S, G * 128]
+        ng = len(groups)
         f_rows = jnp.broadcast_to(
-            f_stack[:, None, :], (s_rows, LANES, num_trees * LANES)
-        ).reshape(tile, num_trees * LANES)  # [tile, T * 128]
+            f_stack[:, None, :], (s_rows, LANES, ng * LANES)
+        ).reshape(tile, ng * LANES)  # [tile, G * 128]
 
         # Pack: lane t of row p holds tree t's feature index for point p.
         packed = jnp.zeros((tile, LANES), jnp.int32)
-        for t in range(num_trees):
-            f_rep = jnp.take_along_axis(
-                f_rows[:, t * LANES : (t + 1) * LANES], lane_of_p, axis=1
+        for gi, grp in enumerate(groups):
+            rep = jnp.take_along_axis(
+                f_rows[:, gi * LANES : (gi + 1) * LANES], lane_of_p, axis=1
             )
-            packed = jnp.where(lane_id == t, f_rep, packed)
+            for k, t in enumerate(grp):
+                packed = jnp.where(
+                    lane_id == t, (rep >> (k * feat_bits)) & fmask, packed
+                )
 
         # x[p, f_p] for ALL trees at once: lane-gathers over the tile's
         # feature chunks; column t of the result is tree t's lookup.
