@@ -95,6 +95,16 @@ def _unnormalized_entropy(counts: jnp.ndarray) -> jnp.ndarray:
     return term.sum(axis=-1) + mass_term
 
 
+def _unnormalized_entropy_t(counts_t: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`_unnormalized_entropy` over axis 0 ([C, Ns] layout)."""
+    mass = counts_t.sum(axis=0)
+    term = jnp.where(
+        counts_t > 0, -counts_t * jnp.log2(jnp.maximum(counts_t, 1e-30)), 0.0
+    )
+    mass_term = jnp.where(mass > 0, mass * jnp.log2(jnp.maximum(mass, 1e-30)), 0.0)
+    return term.sum(axis=0) + mass_term
+
+
 @partial(jax.jit, static_argnames=("num_segments", "num_classes"))
 def split_search_step(
     vals: jnp.ndarray,  # [Ns] feature value per example (node's slot-k feature)
@@ -110,60 +120,106 @@ def split_search_step(
     objective = +inf where no valid split exists.
     """
     ns = vals.shape[0]
+    ns_pad = -(-ns // 128) * 128
     sorted_seg, sorted_vals, sorted_cls = jax.lax.sort(
         (seg, vals, cls), num_keys=2
     )
     active = sorted_seg < num_segments
-    onehot = (
-        jax.nn.one_hot(sorted_cls, num_classes, dtype=jnp.float32)
-        * active[:, None]
-    )
-    cum = jnp.cumsum(onehot, axis=0)  # inclusive prefix over everything
+
+    # Class prefix machinery in [C, Ns] layout — classes on sublanes, the
+    # sorted stream on lanes. A [Ns, C] layout spends 9 of 128 lanes on
+    # every op; transposed, the stream cumsum is a lane-wise two-level
+    # prefix (in-vreg cumsum + row-total carry) like the CRF splat.
+    onehot_t = (
+        (sorted_cls[None, :] == jnp.arange(num_classes)[:, None])
+        & active[None, :]
+    ).astype(jnp.float32)  # [C, Ns]
+    oh_p = jnp.pad(onehot_t, ((0, 0), (0, ns_pad - ns)))
+    x2 = oh_p.reshape(num_classes, ns_pad // 128, 128)
+    within = jnp.cumsum(x2, axis=2)
+    rowtot = within[:, :, -1]
+    carry = jnp.cumsum(rowtot, axis=1) - rowtot
+    cum_t = (within + carry[:, :, None]).reshape(num_classes, ns_pad)[:, :ns]
+    zero = jnp.zeros((num_classes, 1), jnp.float32)
+    cum_excl_t = jnp.concatenate([zero, cum_t[:, :-1]], axis=1)
 
     idx = jnp.arange(ns, dtype=jnp.int32)
     prev_seg = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_seg[:-1]])
     is_start = sorted_seg != prev_seg
     start_idx = jax.lax.cummax(jnp.where(is_start, idx, 0))
-    # Exclusive prefix at the segment start and at the current element.
-    zero = jnp.zeros((1, num_classes), jnp.float32)
-    cum_excl = jnp.concatenate([zero, cum[:-1]], axis=0)
-    left = cum_excl - jnp.take(cum_excl, start_idx, axis=0)  # [Ns, C]
+    left_t = cum_excl_t - jnp.take(cum_excl_t, start_idx, axis=1)  # [C, Ns]
 
-    totals = jnp.zeros((num_segments + 1, num_classes), jnp.float32)
-    totals = totals.at[sorted_seg].add(onehot)
-    right = jnp.take(totals, sorted_seg, axis=0) - left
+    # Segment totals WITHOUT a scatter (TPU scatters cost ~25 ns/row; the
+    # stream is already segment-sorted): the inclusive prefix at each
+    # segment's LAST element minus at its start. End positions flow
+    # backwards with a reversed cummax.
+    next_seg = jnp.concatenate([sorted_seg[1:], jnp.full((1,), -2, jnp.int32)])
+    is_end = sorted_seg != next_seg
+    # Nearest end at-or-after i == i's segment end (reversed cummax).
+    end_idx = ns - 1 - jax.lax.cummax(
+        jnp.flip(jnp.where(is_end, ns - 1 - idx, 0))
+    )[::-1]
+    totals_t = jnp.take(cum_t, end_idx, axis=1) - jnp.take(
+        cum_excl_t, start_idx, axis=1
+    )
+    right_t = totals_t - left_t
 
     prev_vals = jnp.concatenate([sorted_vals[:1], sorted_vals[:-1]])
+    left_mass = left_t.sum(axis=0)
     valid = (
         active
         & ~is_start
         & (sorted_vals - prev_vals >= 1e-6)  # learning.cpp:576-583
-        & (left.sum(axis=1) > 0)
+        & (left_mass > 0)
     )
     # Entropy on class-prior-weighted counts (EfficientEntropyHistogram's
     # weighted_histogram/weighted_mass, learning.cpp:220-256); masses and
     # validity stay UNWEIGHTED (getMass(), :258).
-    wl = left * class_weights[None, :]
-    wr = right * class_weights[None, :]
+    wl = left_t * class_weights[:, None]
+    wr = right_t * class_weights[:, None]
     objective = jnp.where(
         valid,
-        _unnormalized_entropy(wl) + _unnormalized_entropy(wr),
+        _unnormalized_entropy_t(wl) + _unnormalized_entropy_t(wr),
         jnp.inf,
     )
     threshold = 0.5 * (prev_vals + sorted_vals)
 
-    # Per-segment argmin with earliest-position tie-breaking.
-    seg_best = jnp.full((num_segments + 1,), jnp.inf, jnp.float32)
-    seg_best = seg_best.at[sorted_seg].min(objective)
-    is_winner = valid & (objective == jnp.take(seg_best, sorted_seg))
-    win_idx = jnp.full((num_segments + 1,), ns, jnp.int32)
-    win_idx = win_idx.at[jnp.where(is_winner, sorted_seg, num_segments)].min(idx)
+    # Per-segment argmin with earliest-position tie-breaking, again
+    # scatter-free: a SEGMENTED min-scan (the classic contiguous-segment
+    # operator: later element keeps its own value unless the earlier one
+    # is in the same segment and not worse), read out at segment ends
+    # found by binary search over the sorted segment ids.
+    def seg_op(a, b):
+        seg_a, obj_a, idx_a = a
+        seg_b, obj_b, idx_b = b
+        take_a = (seg_a == seg_b) & (obj_a <= obj_b)
+        return (
+            seg_b,
+            jnp.where(take_a, obj_a, obj_b),
+            jnp.where(take_a, idx_a, idx_b),
+        )
 
-    safe_win = jnp.minimum(win_idx[:num_segments], ns - 1)
-    best_obj = seg_best[:num_segments]
+    _, scan_obj, scan_idx = jax.lax.associative_scan(
+        seg_op, (sorted_seg, objective, idx)
+    )
+    seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
+    # Last element of each segment id (or 0 if the segment is empty).
+    # method="sort" — the default scan-based binary search costs ~1.6 ms
+    # per call on TPU (17 tiny scan steps); a merge sort is ~free.
+    pos = jnp.searchsorted(
+        sorted_seg, seg_ids, side="right", method="sort"
+    ).astype(jnp.int32)
+    has = pos > jnp.searchsorted(
+        sorted_seg, seg_ids, side="left", method="sort"
+    ).astype(jnp.int32)
+    last = jnp.clip(pos - 1, 0, ns - 1)
+    best_obj = jnp.where(has, jnp.take(scan_obj, last), jnp.inf)
+    safe_win = jnp.where(
+        has & jnp.isfinite(best_obj), jnp.take(scan_idx, last), ns - 1
+    )
     best_thr = jnp.take(threshold, safe_win)
-    best_left = jnp.take(left.sum(axis=1), safe_win)
-    best_right = jnp.take(right.sum(axis=1), safe_win)
+    best_left = jnp.take(left_mass, safe_win)
+    best_right = jnp.take(right_t.sum(axis=0), safe_win)
     return best_obj, best_thr, best_left, best_right
 
 
@@ -178,18 +234,36 @@ def multi_slot_split_search(
     num_segments: int,
     num_classes: int,
 ):
-    """All K feature slots of one level in a single device step."""
+    """All K feature slots of one level in a single device step.
 
-    def one_slot(slot_feats):  # [F]
-        feat_per_example = jnp.take(
-            slot_feats, jnp.minimum(seg, num_segments - 1)
-        )
-        vals = jnp.take_along_axis(x, feat_per_example[:, None], axis=1)[:, 0]
-        return split_search_step(
+    The slots ride a ``lax.scan`` (sequential on device, ONE small slot
+    body): vmapping doubles the per-slot cost on TPU (batched sorts/scans
+    lay out worse — 9.1 vs 4.3 ms measured) and unrolling K = 20 bodies
+    makes a graph whose compile/load costs ~30 s PER frontier bucket PER
+    PROCESS. The per-example value extraction ``x[n, feats[seg_n, k]]``
+    runs as a one-hot MXU matmul per slot (``x @ onehot -> [Ns, F]`` then
+    a cheap lane gather by segment) instead of [Ns] element gathers at
+    ~7-13 ns each; precision=HIGHEST keeps the values bit-exact f32 (one
+    nonzero per one-hot column; the default 3-pass product would round
+    the mantissa).
+    """
+    d = x.shape[1]
+    seg_c = jnp.minimum(seg, num_segments - 1)
+
+    def one_slot(carry, slot_feats):  # slot_feats [F]
+        oh = jax.nn.one_hot(slot_feats, d, dtype=jnp.float32)  # [F, D]
+        y = jax.lax.dot_general(
+            x, oh,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Ns, F]
+        vals = jnp.take_along_axis(y, seg_c[:, None], axis=1)[:, 0]
+        return carry, split_search_step(
             vals, seg_search, cls, class_weights, num_segments, num_classes
         )
 
-    return jax.vmap(one_slot)(feats.T)  # each output [K, F]
+    _, outs = jax.lax.scan(one_slot, jnp.int32(0), feats.T)
+    return outs  # each [K, F]
 
 
 @partial(
@@ -231,7 +305,16 @@ def level_search_step(
         x, feats, seg, seg_search, cls, class_weights, num_segments,
         num_classes,
     )
-    return searchable, obj_k, thr_k, lm_k, rm_k
+    # ONE packed output: each separate np.asarray costs a ~35 ms link
+    # round trip per level, so the five results ride one [4K+1, F] array.
+    k = feats.shape[1]
+    return jnp.concatenate(
+        [
+            searchable.astype(jnp.float32)[None],
+            obj_k, thr_k, lm_k, rm_k,
+        ],
+        axis=0,
+    )
 
 
 @partial(jax.jit, static_argnames=("num_segments", "num_classes", "num_layers"))
@@ -372,17 +455,17 @@ def _grow_tree(
         # One fused device step: node stats + stop checks + all K feature
         # slots (vmapped); earlier feature wins ties via strict < in slot
         # order, like the reference's sequential sweep (:588).
-        searchable, obj_k, thr_k, lm_k, rm_k = level_search_step(
+        packed = np.asarray(level_search_step(
             x, feats_dev, seg, cls, y_dev,
             jnp.asarray(layers_pad), jnp.asarray(depth_ok),
             jnp.float32(cfg.min_split_examples), class_weights_dev,
             f_pad, num_classes, num_layers,
-        )
-        searchable = np.asarray(searchable)[:f_count]
-        obj_k = np.asarray(obj_k)[:, :f_count]  # [K, F]
-        thr_k = np.asarray(thr_k)[:, :f_count]
-        lm_k = np.asarray(lm_k)[:, :f_count]
-        rm_k = np.asarray(rm_k)[:, :f_count]
+        ))  # [4K+1, F] -- one download round trip per level
+        searchable = packed[0, :f_count] > 0
+        obj_k = packed[1 : 1 + k, :f_count]  # [K, F]
+        thr_k = packed[1 + k : 1 + 2 * k, :f_count]
+        lm_k = packed[1 + 2 * k : 1 + 3 * k, :f_count]
+        rm_k = packed[1 + 3 * k : 1 + 4 * k, :f_count]
         for slot in range(k):
             improve = obj_k[slot] < best
             best_thr = np.where(improve, thr_k[slot], best_thr)
