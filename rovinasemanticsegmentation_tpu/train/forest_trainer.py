@@ -270,24 +270,49 @@ def multi_slot_split_search(
     jax.jit,
     static_argnames=("num_segments", "num_classes", "num_layers"),
 )
-def level_search_step(
+def fused_level_step(
     x: jnp.ndarray,  # [Ns, D]
-    feats: jnp.ndarray,  # [F, K]
-    seg: jnp.ndarray,  # [Ns]
-    cls: jnp.ndarray,  # [Ns]
     labels: jnp.ndarray,  # [Ns, L]
+    node_of: jnp.ndarray,  # [Ns] tree-node id per example
+    base: jnp.ndarray,  # scalar i32: id of the FIRST frontier node
+    table_len: jnp.ndarray,  # scalar i32: tree-table length (children alloc here)
+    feats: jnp.ndarray,  # [F, K] sampled feature ids per frontier slot
     layers: jnp.ndarray,  # [F] chosen layer per slot
-    depth_ok: jnp.ndarray,  # [F] bool: depth <= max_depth per slot
+    depth_ok: jnp.ndarray,  # scalar bool (breadth-first: uniform per level)
     min_split: jnp.ndarray,  # scalar
+    min_child: jnp.ndarray,  # scalar
     class_weights: jnp.ndarray,  # [C]
     num_segments: int,
     num_classes: int,
     num_layers: int,
 ):
-    """ONE dispatch per level: node stats + stop checks + the K-slot split
-    search. The stop conditions (learning.cpp:521-531) move onto the device
-    so the level needs a single host round trip instead of two — per-level
-    syncs dominate training wall time through a high-latency backend."""
+    """The ENTIRE level in ONE dispatch: slot mapping, node stats, stop
+    checks (learning.cpp:521-531), the K-slot split search, best-slot
+    selection, child-id allocation, and the example partition.
+
+    Profiling showed the ~15 small per-level host<->device transfers cost
+    ~5 s/level through the dev link (each carries ~0.1-0.3 s of latency)
+    while the actual search executes in ~0.3 s. Breadth-first node
+    numbering makes everything device-derivable: the frontier occupies
+    consecutive ids [base, base + F), so the slot of an example is
+    ``node_of - base``, and a host-parity child allocation is
+    ``table_len + 2 * exclusive_cumsum(splitting)`` (the host applies
+    splits in ascending slot order). Returns (packed [3, F] host info:
+    splitting/feature/threshold, new node_of — which STAYS on device).
+    """
+    # Slot per example; ids below base are settled leaves from earlier
+    # levels, anything outside [0, F) parks at the inactive slot F.
+    seg_raw = node_of - base
+    seg = jnp.where(
+        (seg_raw >= 0) & (seg_raw < num_segments), seg_raw, num_segments
+    )
+    seg_c = jnp.minimum(seg, num_segments - 1)
+
+    # Per-example class from the slot's chosen layer (learning.cpp:489-493).
+    layer_of = jnp.take(layers, seg_c)
+    cls = jnp.take_along_axis(labels, layer_of[:, None], axis=1)[:, 0]
+    cls = jnp.where(seg < num_segments, cls, 0)
+
     mass, distinct = node_stats_step(
         seg, labels, num_segments, num_classes, num_layers
     )
@@ -296,8 +321,7 @@ def level_search_step(
     ]
     searchable = (mass >= min_split) & (layer_distinct > 1) & depth_ok  # [F]
     seg_search = jnp.where(
-        jnp.take(searchable, jnp.minimum(seg, num_segments - 1))
-        & (seg < num_segments),
+        jnp.take(searchable, seg_c) & (seg < num_segments),
         seg,
         num_segments,
     )
@@ -305,16 +329,43 @@ def level_search_step(
         x, feats, seg, seg_search, cls, class_weights, num_segments,
         num_classes,
     )
-    # ONE packed output: each separate np.asarray costs a ~35 ms link
-    # round trip per level, so the five results ride one [4K+1, F] array.
-    k = feats.shape[1]
-    return jnp.concatenate(
-        [
-            searchable.astype(jnp.float32)[None],
-            obj_k, thr_k, lm_k, rm_k,
-        ],
-        axis=0,
+
+    # Best slot per frontier node; argmin keeps the FIRST minimum, exactly
+    # the host sweep's strict-< update order (learning.cpp:588).
+    best_slot = jnp.argmin(obj_k, axis=0)  # [F]
+    best_obj = jnp.take_along_axis(obj_k, best_slot[None], axis=0)[0]
+    best_thr = jnp.take_along_axis(thr_k, best_slot[None], axis=0)[0]
+    best_lm = jnp.take_along_axis(lm_k, best_slot[None], axis=0)[0]
+    best_rm = jnp.take_along_axis(rm_k, best_slot[None], axis=0)[0]
+    best_feat = jnp.take_along_axis(feats, best_slot[:, None], axis=1)[:, 0]
+
+    splitting = (
+        searchable
+        & jnp.isfinite(best_obj)
+        & (best_lm >= min_child)
+        & (best_rm >= min_child)  # learning.cpp:606
     )
+    sp_i = splitting.astype(jnp.int32)
+    left_ids = table_len + 2 * (jnp.cumsum(sp_i) - sp_i)  # host alloc order
+
+    # Partition (the reference's per-node example redistribution).
+    sp_e = jnp.take(splitting, seg_c) & (seg < num_segments)
+    f_e = jnp.take(best_feat, seg_c)
+    thr_e = jnp.take(best_thr, seg_c)
+    left_e = jnp.take(left_ids, seg_c)
+    xv = jnp.take_along_axis(x, f_e[:, None], axis=1)[:, 0]
+    node_new = jnp.where(
+        sp_e, left_e + (xv >= thr_e).astype(jnp.int32), node_of
+    )
+
+    packed = jnp.stack(
+        [
+            splitting.astype(jnp.float32),
+            best_feat.astype(jnp.float32),
+            best_thr,
+        ]
+    )  # [3, F] — the level's ONLY download
+    return packed, node_new
 
 
 @partial(jax.jit, static_argnames=("num_segments", "num_classes", "num_layers"))
@@ -333,19 +384,6 @@ def node_stats_step(
     mass = counts[:, 0, :].sum(axis=-1)
     distinct = (counts > 0).sum(axis=-1)  # [F, L]
     return mass, distinct
-
-
-@partial(jax.jit, static_argnames=())
-def partition_step(
-    node_of: jnp.ndarray,  # [Ns] current tree-node id per example
-    x_vals: jnp.ndarray,  # [Ns] value of the node's best feature per example
-    thr_of: jnp.ndarray,  # [Nnodes] threshold per node
-    left_of: jnp.ndarray,  # [Nnodes] left-child id per node (0 = not split)
-) -> jnp.ndarray:
-    thr = jnp.take(thr_of, node_of)
-    left = jnp.take(left_of, node_of)
-    go_left = x_vals < thr
-    return jnp.where(left > 0, jnp.where(go_left, left, left + 1), node_of)
 
 
 # ======================================================================
@@ -404,116 +442,65 @@ def _grow_tree(
 
     tree = _TreeBuilder()
     node_of = jnp.zeros((ns,), jnp.int32)
-    frontier = [0]  # node ids eligible for splitting at this depth
+    # Breadth-first growth keeps each level's frontier on CONSECUTIVE node
+    # ids, so the device derives slots from node_of and a base id alone —
+    # the whole level runs as ONE dispatch + ONE small download
+    # (fused_level_step; the former ~15 small transfers per level cost
+    # ~5 s each through the dev link).
+    base = 0
+    f_count = 1
+    depth = 0
 
-    while frontier:
-        f_count = len(frontier)
-        # Bucket the frontier-slot count to a power of two: the jitted level
-        # steps are specialized on num_segments, and without bucketing every
-        # level of every tree forces a fresh compile (minutes each through a
-        # remote-compile backend). Padded slots have no member examples, so
-        # every real slot's result is bit-identical.
+    while f_count > 0:
+        # Bucket the frontier-slot count to a power of 4: the jitted level
+        # step is specialized on num_segments, and without bucketing every
+        # level of every tree forces a fresh compile (minutes each through
+        # a remote-compile backend). Padded slots have no member examples.
         f_pad = 1 << (((f_count - 1).bit_length() + 1) // 2 * 2)  # power of 4
-        # Map tree-node id -> frontier slot (inactive -> f_pad).
-        node_to_slot = np.full(len(tree.split_feature), f_pad, np.int32)
-        for s, n in enumerate(frontier):
-            node_to_slot[n] = s
-        seg = jnp.take(jnp.asarray(node_to_slot), node_of)
 
-        # Random layer per frontier node (learning.cpp:489-493). The rng
-        # stream draws exactly f_count values, as before bucketing.
+        # Random layer per frontier node (learning.cpp:489-493) and
+        # feature sampling without replacement (:543-546); the rng stream
+        # draws exactly f_count values, independent of bucketing.
         layers = rng.integers(0, num_layers, size=f_count).astype(np.int32)
         layers_pad = np.concatenate(
             [layers, np.zeros(f_pad - f_count, np.int32)]
         )
-        layer_of = jnp.take(jnp.asarray(layers_pad), jnp.minimum(seg, f_pad - 1))
-        cls = jnp.take_along_axis(y_dev, layer_of[:, None], axis=1)[:, 0]
-        cls = jnp.where(seg < f_pad, cls, 0)
-
-        # Feature sampling without replacement per node (:543-546); rng
-        # draws exactly f_count permutations, padding rows are zeros.
         feats = np.stack(
             [rng.permutation(d)[:k] for _ in range(f_count)]
         ).astype(np.int32)  # [F, k]
         feats_pad = np.concatenate(
             [feats, np.zeros((f_pad - f_count, k), np.int32)]
         )
-        feats_dev = jnp.asarray(feats_pad)
 
-        best = np.full(f_count, np.inf, np.float32)
-        best_thr = np.zeros(f_count, np.float32)
-        best_feat = np.full(f_count, -1, np.int32)
-        best_lmass = np.zeros(f_count, np.float32)
-        best_rmass = np.zeros(f_count, np.float32)
-
-        # Stop conditions (learning.cpp:521-531) evaluate on device inside
-        # the single fused level step; depth is host knowledge per slot.
-        depth_ok = np.zeros(f_pad, bool)
-        for s, n in enumerate(frontier):
-            depth_ok[s] = tree.depth[n] <= cfg.max_depth
-
-        # One fused device step: node stats + stop checks + all K feature
-        # slots (vmapped); earlier feature wins ties via strict < in slot
-        # order, like the reference's sequential sweep (:588).
-        packed = np.asarray(level_search_step(
-            x, feats_dev, seg, cls, y_dev,
-            jnp.asarray(layers_pad), jnp.asarray(depth_ok),
-            jnp.float32(cfg.min_split_examples), class_weights_dev,
+        nn = len(tree.split_feature)
+        packed, node_of = fused_level_step(
+            x, y_dev, node_of,
+            jnp.int32(base), jnp.int32(nn),
+            jnp.asarray(feats_pad), jnp.asarray(layers_pad),
+            jnp.asarray(depth <= cfg.max_depth),
+            jnp.float32(cfg.min_split_examples),
+            jnp.float32(cfg.min_child_split_examples),
+            class_weights_dev,
             f_pad, num_classes, num_layers,
-        ))  # [4K+1, F] -- one download round trip per level
-        searchable = packed[0, :f_count] > 0
-        obj_k = packed[1 : 1 + k, :f_count]  # [K, F]
-        thr_k = packed[1 + k : 1 + 2 * k, :f_count]
-        lm_k = packed[1 + 2 * k : 1 + 3 * k, :f_count]
-        rm_k = packed[1 + 3 * k : 1 + 4 * k, :f_count]
-        for slot in range(k):
-            improve = obj_k[slot] < best
-            best_thr = np.where(improve, thr_k[slot], best_thr)
-            best_feat = np.where(improve, feats[:, slot], best_feat)
-            best_lmass = np.where(improve, lm_k[slot], best_lmass)
-            best_rmass = np.where(improve, rm_k[slot], best_rmass)
-            best = np.where(improve, obj_k[slot], best)
+        )
+        arr = np.asarray(packed)  # the level's one host sync
+        splitting = arr[0, :f_count] > 0
+        best_feat = arr[1, :f_count].astype(np.int32)
+        best_thr = arr[2, :f_count]
 
-        # Apply splits (host) and partition examples (device).
-        new_frontier: List[int] = []
-        thr_of = np.zeros(len(tree.split_feature) + 2 * f_count, np.float32)
-        left_of = np.zeros(len(tree.split_feature) + 2 * f_count, np.int32)
-        feat_of = np.zeros(len(tree.split_feature) + 2 * f_count, np.int32)
-        any_split = False
-        for s, n in enumerate(frontier):
-            if not searchable[s] or best_feat[s] < 0:
+        # Host bookkeeping mirrors the device's child allocation exactly
+        # (ascending slot order, two ids per split from the table end).
+        splits = 0
+        for s in range(f_count):
+            if not splitting[s]:
                 continue
-            if (
-                best_lmass[s] < cfg.min_child_split_examples
-                or best_rmass[s] < cfg.min_child_split_examples
-            ):
-                continue  # learning.cpp:606
-            left = tree.split(n, best_feat[s], best_thr[s])
-            thr_of[n] = best_thr[s]
-            left_of[n] = left
-            feat_of[n] = best_feat[s]
-            new_frontier.extend([left, left + 1])
-            any_split = True
+            left = tree.split(base + s, int(best_feat[s]), float(best_thr[s]))
+            assert left == nn + 2 * splits  # device/host alloc parity
+            splits += 1
 
-        if any_split:
-            # Bucket the node-table length too (same recompile concern).
-            nn = len(tree.split_feature)
-            nn_pad = 1 << (((nn - 1).bit_length() + 1) // 2 * 2)  # power of 4
-            feat_tab = np.zeros(nn_pad, np.int32)
-            feat_tab[:nn] = feat_of[:nn]
-            thr_tab = np.zeros(nn_pad, np.float32)
-            thr_tab[:nn] = thr_of[:nn]
-            left_tab = np.zeros(nn_pad, np.int32)
-            left_tab[:nn] = left_of[:nn]
-            feat_per_example = jnp.take(jnp.asarray(feat_tab), node_of)
-            x_vals = jnp.take_along_axis(x, feat_per_example[:, None], axis=1)[:, 0]
-            node_of = partition_step(
-                node_of,
-                x_vals,
-                jnp.asarray(thr_tab),
-                jnp.asarray(left_tab),
-            )
-        frontier = new_frontier
+        base = nn
+        f_count = 2 * splits
+        depth += 1
 
     return tree
 
