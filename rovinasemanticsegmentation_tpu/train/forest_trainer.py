@@ -240,29 +240,21 @@ def multi_slot_split_search(
     body): vmapping doubles the per-slot cost on TPU (batched sorts/scans
     lay out worse — 9.1 vs 4.3 ms measured) and unrolling K = 20 bodies
     makes a graph whose compile/load costs ~30 s PER frontier bucket PER
-    PROCESS. The per-example value extraction ``x[n, feats[seg_n, k]]``
-    runs as a one-hot MXU matmul per slot (``x @ onehot -> [Ns, F]`` then
-    a cheap lane gather by segment) instead of [Ns] element gathers at
-    ~7-13 ns each; precision=HIGHEST keeps the values bit-exact f32 (one
-    nonzero per one-hot column; the default 3-pass product would round
-    the mantissa).
+    PROCESS. The per-example values for ALL slots ride one batched
+    [Ns, K] take_along_axis up front (~26 ms for K = 20 at 100k examples
+    — a one-hot-matmul alternative materializes [Ns, F] per slot, which
+    explodes at wide frontiers).
     """
-    d = x.shape[1]
     seg_c = jnp.minimum(seg, num_segments - 1)
+    feat_all = jnp.take(feats, seg_c, axis=0)  # [Ns, K]
+    vals_all = jnp.take_along_axis(x, feat_all, axis=1)  # [Ns, K]
 
-    def one_slot(carry, slot_feats):  # slot_feats [F]
-        oh = jax.nn.one_hot(slot_feats, d, dtype=jnp.float32)  # [F, D]
-        y = jax.lax.dot_general(
-            x, oh,
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Ns, F]
-        vals = jnp.take_along_axis(y, seg_c[:, None], axis=1)[:, 0]
+    def one_slot(carry, vals):  # vals [Ns]
         return carry, split_search_step(
             vals, seg_search, cls, class_weights, num_segments, num_classes
         )
 
-    _, outs = jax.lax.scan(one_slot, jnp.int32(0), feats.T)
+    _, outs = jax.lax.scan(one_slot, jnp.int32(0), vals_all.T)
     return outs  # each [K, F]
 
 
