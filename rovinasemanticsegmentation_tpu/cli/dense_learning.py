@@ -185,7 +185,8 @@ def run(
         extra_weights=[weights[0]],
     )
     kw, kmat, obj3 = learner.fit(
-        float(-weights[1]),  # Potts weight of the kernel term
+        float(weights[1]),  # Potts weight of the kernel term (same sign
+        # convention as mean_field_marginals: t = -unary + w*filtered)
         np.diag(bilateral_scale),
         max_iter=6,
     )
@@ -202,7 +203,7 @@ def run(
     q = mean_field_marginals(
         unary_energy.get(jnp.asarray(l_params, jnp.float32)),
         [gauss, bilateral_learned],
-        [jnp.float32(weights[0]), jnp.float32(-kw)],
+        [jnp.float32(weights[0]), jnp.float32(kw)],
         NIT,
     )
     labels = np.asarray(jnp.argmax(q, axis=1).astype(jnp.int32))

@@ -281,7 +281,6 @@ def build_lattice_device(
 
     # Descending stable rank of the residuals (ties by index).
     diff = elevated - rem0  # [N, d+1]
-    gt = diff[:, :, None] < diff[:, None, :]  # d_j > d_i at [i, j]... careful
     # rank[i] = #{j > i : d_i < d_j} + #{j < i : d_j >= d_i}
     i_idx = jnp.arange(d1)
     later = i_idx[None, :] > i_idx[:, None]  # [i, j] j > i

@@ -219,6 +219,13 @@ def normal_angles_grid(
 def _normal_angles_impl(
     points, stride: Optional[int], max_depth_change_factor, normal_smoothing_size
 ):
+    # The banded chamfer's halo is ceil(smoothing); the consumer masks an
+    # int(smoothing) border. Integral sizes make those agree (the config
+    # default 10.0 is); non-integral sizes could deviate from PCL's
+    # sequential passes in rows [int(s), ceil(s)).
+    assert float(normal_smoothing_size) == int(normal_smoothing_size), (
+        "normal_smoothing_size must be integral for the banded chamfer"
+    )
     h, w = points.shape[0], points.shape[1]
     z = points[..., 2]
     invalid = jnp.isnan(z)

@@ -17,6 +17,8 @@ Mirrors the map-fusion worker ``Segmenter::processMapFromQueue``
 
 from __future__ import annotations
 
+import logging
+
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -222,6 +224,7 @@ class LocalMapPipeline:
         self.use_device_lattice = bool(use_device_lattice)
         self._m_bucket = 1 << 14  # vertex-count bucket, grows on overflow
         self._m_checked = set()  # cloud sizes whose bucket was validated
+        self._pending_m = []  # (bucket, device vertex-count) to drain async
         self._zero_layers = None  # device zero posteriors, built lazily
 
     # ------------------------------------------------------------------
@@ -312,6 +315,34 @@ class LocalMapPipeline:
             tuple(post_all),
         )
 
+    def _drain_overflow_flags(self) -> None:
+        """Inspect completed vertex counts without blocking the hot path.
+
+        A sync-free map whose vertex count overflowed its bucket was
+        poisoned to Unknown on device; here the host finally observes the
+        count (once its dispatch is done), logs it, grows the bucket, and
+        invalidates the per-size cache so subsequent maps recover."""
+        still_pending = []
+        overflow_max = 0
+        for bucket, count_dev in self._pending_m:
+            if not count_dev.is_ready():
+                still_pending.append((bucket, count_dev))
+                continue
+            count = int(count_dev)
+            if count > bucket:
+                overflow_max = max(overflow_max, count)
+        self._pending_m = still_pending
+        if overflow_max:
+            while self._m_bucket < overflow_max * 1.25:
+                self._m_bucket *= 2
+            self._m_checked.clear()
+            logging.warning(
+                "lattice vertex bucket overflow (%d vertices): that map's "
+                "labels were set to Unknown; bucket grown to %d",
+                overflow_max,
+                self._m_bucket,
+            )
+
     def label_map(
         self,
         cloud_points: np.ndarray,  # [N, 3]
@@ -339,6 +370,7 @@ class LocalMapPipeline:
                 # bucket grows sticky on overflow (recompile, rare).
                 from ..models.lattice import build_lattice_device
 
+                self._drain_overflow_flags()
                 feats_dev = jnp.asarray(feats)
                 n_pts = int(feats.shape[0])
                 built = build_lattice_device(
@@ -348,10 +380,14 @@ class LocalMapPipeline:
                     # Sync the vertex count ONLY for the first map of each
                     # cloud size: a steady-state per-map sync chases the
                     # device queue tail (~one whole frame batch of latency
-                    # per map on the fusion worker). Later maps of the
-                    # same size run sync-free; a would-be overflow poisons
-                    # its labels to Unknown on device instead (overt).
-                    while int(built[-1]) > self._m_bucket:
+                    # per map on the fusion worker). Validate with 25%
+                    # headroom so same-size maps with a wider feature
+                    # spread still fit. Later maps run sync-free; a
+                    # would-be overflow poisons that map's labels to
+                    # Unknown on device (overt), and the count is drained
+                    # asynchronously below so the bucket grows and
+                    # SUBSEQUENT maps recover.
+                    while int(built[-1]) > 0.8 * self._m_bucket:
                         self._m_bucket *= 2  # recompiles once per growth
                         built = build_lattice_device(
                             feats_dev, m_bucket=self._m_bucket
@@ -360,6 +396,9 @@ class LocalMapPipeline:
                 lattice_args = built[:8]
                 overflow = built[-1] > self._m_bucket
                 num_vertices = self._m_bucket
+                # Off the latency path: keep the device count; a later
+                # call inspects it once the dispatch has finished.
+                self._pending_m.append((self._m_bucket, built[-1]))
             else:
                 # Host build (native hash-table) + upload; kept for hosts
                 # where the transfer link is fast and CPU cycles are free.

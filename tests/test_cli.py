@@ -162,6 +162,7 @@ class TestEvaluateCli:
 
 
 class TestTrainCli:
+    @pytest.mark.slow
     def test_train_then_evaluate(self, tmp_path, capsys):
         from rovinasemanticsegmentation_tpu.cli.train import (
             extract_training_data,

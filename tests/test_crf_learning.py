@@ -178,6 +178,7 @@ class TestDenseInferenceDemo:
         np.testing.assert_array_equal(load_ppm(out), load_ppm(golden))
 
 
+@pytest.mark.slow
 class TestDenseLearningDemo:
     REF = "/root/reference/third-party/densecrf/examples"
 

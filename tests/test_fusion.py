@@ -149,6 +149,7 @@ class TestLocalMapPipeline:
         labels = pipeline.run(pts, rgb, [node])[0]
         assert (labels == 2).all()  # no votes anywhere -> Unknown
 
+    @pytest.mark.slow
     def test_crf_smoothing_path(self):
         proj, pts, rgb = self._scene()
         pipeline = LocalMapPipeline(

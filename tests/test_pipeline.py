@@ -176,6 +176,7 @@ class TestShardedCrf:
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 class TestTreeParallel:
     def test_matches_sequential(self):
         from rovinasemanticsegmentation_tpu.parallel.tree_parallel import (
