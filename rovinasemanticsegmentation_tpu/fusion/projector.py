@@ -91,6 +91,78 @@ def project_zbuffer(
     return zbuffer, index_image
 
 
+@partial(jax.jit, static_argnames=("height", "width"))
+def project_winners(
+    points: jnp.ndarray,  # [N, 3] world points
+    rotation_inv: jnp.ndarray,  # [C3, 3, 3]
+    translation_inv: jnp.ndarray,  # [C3, 3]
+    intrinsics: jnp.ndarray,  # [C3, 3, 3]
+    min_distance: jnp.ndarray,
+    max_distance: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-free z-buffer resolution for posterior fusion.
+
+    Returns ``(won [C3*N] bool, flat [C3*N] i32)``: per (camera, point),
+    whether the point is the nearest one landing on its pixel (the z-buffer
+    winner, ties to the lowest point index — the same rule as
+    :func:`project_zbuffer`), and the stacked-image flat pixel id it lands
+    on. Each point occupies exactly one pixel per camera, so fusion needs no
+    index IMAGE at all: a gather of the winner pixels' posteriors replaces
+    the reference's per-pixel accumulation loop (segmenter.cpp:589-616).
+    Implementation is sort-based (sorts are cheap on TPU, scatters cost
+    ~25 ns/row): lexicographic sort by (pixel, depth, slot) puts each
+    pixel's winner first in its run.
+    """
+    ncam = rotation_inv.shape[0]
+    n = points.shape[0]
+    npix = ncam * height * width
+
+    cam = (
+        jnp.einsum(
+            "cij,nj->cni", rotation_inv, points,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + translation_inv[:, None, :]
+    )
+    z = cam[..., 2]
+    uvw = jnp.einsum(
+        "cij,cnj->cni", intrinsics, cam, precision=jax.lax.Precision.HIGHEST
+    )
+    safe_z = jnp.where(z > 0, z, 1.0)
+    px = (uvw[..., 0] / safe_z).astype(jnp.int32)
+    py = (uvw[..., 1] / safe_z).astype(jnp.int32)
+    valid = (
+        (z >= min_distance)
+        & (z <= max_distance)
+        & (px >= 0)
+        & (px < width)
+        & (py >= 0)
+        & (py < height)
+    )
+    rows = py + jnp.arange(ncam, dtype=jnp.int32)[:, None] * height
+    flat = jnp.where(valid, rows * width + px, npix).reshape(-1)
+    zf = jnp.where(valid, z, _BIG).reshape(-1)
+
+    # Within one camera block, slot order == point-index order, and camera
+    # blocks never share a pixel row — so the slot id is a faithful
+    # tie-break key for "lowest point index".
+    slot = jnp.arange(ncam * n, dtype=jnp.int32)
+    sorted_flat, _, sorted_slot = jax.lax.sort((flat, zf, slot), num_keys=3)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_flat[1:] != sorted_flat[:-1]]
+    )
+    won_sorted = is_start & (sorted_flat < npix)
+    # Unsort via the inverse permutation (sorting a permutation is identity,
+    # and the carried iota lands each slot's sorted position at index slot).
+    _, pos = jax.lax.sort(
+        (sorted_slot, jnp.arange(ncam * n, dtype=jnp.int32)), num_keys=1
+    )
+    return won_sorted[pos], flat
+
+
 @dataclass
 class MultiProjector:
     """Per-camera calibrations -> stacked-image projection."""

@@ -368,13 +368,57 @@ def node_stats_step(
     num_classes: int,
     num_layers: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(mass [F], distinct-class count per layer [F, L]) for stop checks."""
-    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)  # [Ns, L, C]
-    counts = jnp.zeros((num_segments + 1, num_layers, num_classes), jnp.float32)
-    counts = counts.at[seg].add(onehot)
-    counts = counts[:num_segments]
-    mass = counts[:, 0, :].sum(axis=-1)
-    distinct = (counts > 0).sum(axis=-1)  # [F, L]
+    """(mass [F], distinct-class count per layer [F, L]) for stop checks.
+
+    Scatter-free: the old ``counts.at[seg].add(onehot)`` cost ~25 ns/row
+    (2.5 ms at 100k examples, every level); a segment sort plus the same
+    two-level lane cumsum as :func:`split_search_step` makes the per-slot
+    class counts pure prefix differences read out at segment boundaries.
+    """
+    ns = seg.shape[0]
+    ns_pad = -(-ns // 128) * 128
+    sorted_all = jax.lax.sort(
+        (seg,) + tuple(labels[:, l] for l in range(num_layers)), num_keys=1
+    )
+    sorted_seg = sorted_all[0]
+    active = sorted_seg < num_segments
+
+    # [L*C, Ns] one-hot with layers*classes on sublanes, the sorted
+    # stream on lanes.
+    onehot_t = jnp.concatenate(
+        [
+            (
+                (sorted_all[1 + l][None, :] == jnp.arange(num_classes)[:, None])
+                & active[None, :]
+            ).astype(jnp.float32)
+            for l in range(num_layers)
+        ],
+        axis=0,
+    )  # [L*C, Ns]
+    lc = num_layers * num_classes
+    oh_p = jnp.pad(onehot_t, ((0, 0), (0, ns_pad - ns)))
+    x2 = oh_p.reshape(lc, ns_pad // 128, 128)
+    within = jnp.cumsum(x2, axis=2)
+    rowtot = within[:, :, -1]
+    carry = jnp.cumsum(rowtot, axis=1) - rowtot
+    cum_t = (within + carry[:, :, None]).reshape(lc, ns_pad)[:, :ns]
+
+    seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
+    lo = jnp.searchsorted(
+        sorted_seg, seg_ids, side="left", method="sort"
+    ).astype(jnp.int32)
+    hi = jnp.searchsorted(
+        sorted_seg, seg_ids, side="right", method="sort"
+    ).astype(jnp.int32)
+    has = hi > lo
+    at_hi = jnp.take(cum_t, jnp.clip(hi - 1, 0, ns - 1), axis=1)
+    at_lo = jnp.where(
+        (lo > 0)[None, :], jnp.take(cum_t, jnp.clip(lo - 1, 0, ns - 1), axis=1), 0.0
+    )
+    counts = jnp.where(has[None, :], at_hi - at_lo, 0.0)  # [L*C, F]
+    counts = counts.reshape(num_layers, num_classes, num_segments)
+    mass = (hi - lo).astype(jnp.float32)
+    distinct = (counts > 0).sum(axis=1).T  # [F, L]
     return mass, distinct
 
 

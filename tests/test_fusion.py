@@ -101,6 +101,95 @@ class TestUnaries:
         np.testing.assert_allclose(out[1], 0.0)
 
 
+class TestProjectWinners:
+    """The scatter-free fusion path must agree with the index image."""
+
+    def _check(self, proj, pts, pose=None, ncam=1):
+        from rovinasemanticsegmentation_tpu.fusion.projector import (
+            project_winners,
+        )
+
+        pose = np.eye(4, dtype=np.float32) if pose is None else pose
+        zbuf, idx = proj.project(pts, pose)
+        idx = np.asarray(idx)
+
+        rp = pose[:3, :3].T.astype(np.float32)
+        tp = -rp @ pose[:3, 3].astype(np.float32)
+        rot = proj.rotations_inv @ rp[None]
+        trans = (
+            np.einsum("cij,j->ci", proj.rotations_inv, tp)
+            + proj.translations_inv
+        )
+        won, flat = project_winners(
+            jnp.asarray(pts, jnp.float32),
+            jnp.asarray(rot),
+            jnp.asarray(trans),
+            jnp.asarray(proj.intrinsics),
+            jnp.float32(proj.min_distance),
+            jnp.float32(proj.max_distance),
+            height=proj.height,
+            width=proj.width,
+        )
+        won = np.asarray(won)
+        flat = np.asarray(flat)
+        n = len(pts)
+        # Winners of the index image == winners of the sort-based path,
+        # including the lowest-index tie-break.
+        idx_flat = idx.reshape(-1)
+        expect = np.zeros(ncam * n, bool)
+        for cam in range(ncam):
+            for p in range(n):
+                f = flat[cam * n + p]
+                if f < idx_flat.size and idx_flat[f] == p:
+                    expect[cam * n + p] = True
+        np.testing.assert_array_equal(won, expect)
+        # Every occupied pixel has exactly one winner among its claimants.
+        assert won.sum() == (idx_flat >= 0).sum()
+
+    def test_matches_index_image(self):
+        proj = simple_projector()
+        rng = np.random.default_rng(0)
+        pts = np.stack(
+            [
+                rng.uniform(-0.5, 0.5, 300),
+                rng.uniform(-0.4, 0.4, 300),
+                rng.uniform(0.6, 10.0, 300),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        self._check(proj, pts)
+
+    def test_ties_and_culling(self):
+        proj = simple_projector()
+        # Same ray, equal depths (tie -> lowest index), plus culled points.
+        pts = np.array(
+            [
+                [0.0, 0.0, 2.0],
+                [0.0, 0.0, 2.0],
+                [0.0, 0.0, 4.0],
+                [0.0, 0.0, -1.0],
+                [0.0, 0.0, 50.0],
+            ],
+            dtype=np.float32,
+        )
+        self._check(proj, pts)
+
+    def test_multi_camera_and_pose(self):
+        proj = simple_projector(ncam=2)
+        rng = np.random.default_rng(3)
+        pts = np.stack(
+            [
+                rng.uniform(0.5, 1.5, 200),
+                rng.uniform(-0.4, 0.4, 200),
+                rng.uniform(1.0, 8.0, 200),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [1.0, 0.0, 0.0]
+        self._check(proj, pts, pose=pose, ncam=2)
+
+
 class TestLocalMapPipeline:
     def _scene(self):
         proj = simple_projector()
