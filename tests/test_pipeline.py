@@ -175,6 +175,83 @@ class TestShardedCrf:
         )
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
+    @staticmethod
+    def _multi_layer_case(seed=3, n=203, blocks=(5, 4), weight=2.5, iters=5):
+        """Random multi-layer CRF + its single-device reference marginals."""
+        import jax.numpy as jnp
+
+        from rovinasemanticsegmentation_tpu.models.crf import (
+            potts_mean_field_multi,
+        )
+        from rovinasemanticsegmentation_tpu.models.lattice import (
+            build_lattice,
+            lattice_filter,
+        )
+
+        rng = np.random.default_rng(seed)
+        unary = rng.normal(size=(n, sum(blocks))).astype(np.float32)
+        feats = rng.normal(size=(n, 6)).astype(np.float32)
+        lattice = build_lattice(feats)
+        raw = lattice_filter(
+            jnp.ones((n, 1), jnp.float32),
+            jnp.asarray(lattice.offsets),
+            jnp.asarray(lattice.barycentric),
+            jnp.asarray(lattice.blur_n1),
+            jnp.asarray(lattice.blur_n2),
+            lattice.num_vertices,
+        )[:, 0]
+        norm = 1.0 / jnp.sqrt(raw + 1e-20)
+        want = np.asarray(
+            potts_mean_field_multi(
+                jnp.asarray(unary),
+                jnp.asarray(lattice.offsets),
+                jnp.asarray(lattice.barycentric),
+                jnp.asarray(lattice.blur_n1),
+                jnp.asarray(lattice.blur_n2),
+                norm,
+                jnp.float32(weight),
+                blocks,
+                lattice.num_vertices,
+                iters,
+            )
+        )
+        return unary, lattice, blocks, weight, iters, want
+
+    def test_transposed_matches_single_device(self):
+        """The production scale-out path (sorted-stream splat, [C, N]
+        layout, one psum per filter) must match the single-device
+        multi-layer mean-field."""
+        from rovinasemanticsegmentation_tpu.parallel.mesh import make_mesh
+        from rovinasemanticsegmentation_tpu.parallel.sharded_crf import (
+            sharded_potts_mean_field_t,
+        )
+
+        unary, lattice, blocks, w, iters, want = self._multi_layer_case()
+        got = sharded_potts_mean_field_t(
+            make_mesh(8), "model", unary, lattice, w, blocks, iters
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_vertex_sharded_matches_single_device(self):
+        """The vertex-sharded (halo-exchange) variant must match too, and
+        its planned comm volume must beat the replicated-table psum."""
+        from rovinasemanticsegmentation_tpu.parallel.mesh import make_mesh
+        from rovinasemanticsegmentation_tpu.parallel.sharded_lattice import (
+            plan_sharded_lattice,
+            vertex_sharded_potts_mean_field,
+        )
+
+        unary, lattice, blocks, w, iters, want = self._multi_layer_case()
+        mesh = make_mesh(8)
+        d = mesh.shape["model"]
+        plan = plan_sharded_lattice(lattice, d)
+        got = vertex_sharded_potts_mean_field(
+            mesh, "model", unary, lattice, w, blocks, iters, plan=plan
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+        assert plan.comms_per_filter > 0
+        assert plan.replicated_comms_per_filter > 0
+
 
 @pytest.mark.slow
 class TestTreeParallel:
