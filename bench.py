@@ -6,13 +6,18 @@ extraction + random-forest posteriors (the "Time per image" instrument,
 dense-CRF smoothing (``src/segmenter.cpp:518-719``), amortized over the
 keyframes that feed each map (one map per MAP_EVERY keyframes).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is relative to the 100 kf/s/chip north star (the reference
-publishes no numbers).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+comparability fields (VERDICT r2 item 6): ``fixture`` (sha256 of the pinned
+trained forest so cross-round numbers are never cross-fixture), ``best`` /
+``median`` / ``epochs`` (the dev tunnel's flow-control state is bimodal
+run-to-run for identical device work; the driver sees the variance),
+``batch`` + ``batch_curve`` (keyframes per dispatch and measured kf/s per
+batch size), and ``stages`` (coarse frame-path/map-path split in ms).
 
 Inputs vary per iteration: the TPU runtime memoizes identical executions.
 """
 
+import hashlib
 import json
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -22,6 +27,8 @@ import numpy as np
 MAP_EVERY = 5  # keyframes per local map
 MAP_POINTS = 30000
 N_KEYFRAMES = 30  # long enough that tunnel latency jitter averages out
+BATCH_SIZES = (5, 10)  # keyframes per dispatch (map cadence stays MAP_EVERY)
+N_EPOCHS = 3
 
 
 def main() -> None:
@@ -58,7 +65,8 @@ def main() -> None:
     # forest (scripts/make_bench_forest.py) drives realistic leaf-depth
     # and node-count distributions through the descent kernel's early
     # exit; the random forest is only the fallback if the fixture is
-    # missing.
+    # missing — numbers from the two are never comparable, so the metric
+    # name and the fixture hash mark which one ran.
     import os
     import sys
 
@@ -68,13 +76,17 @@ def main() -> None:
                            "bench_forest.dat")
     if os.path.exists(fixture):
         forest = load_forest(fixture, class_counts=[8, 9])
-        print(f"bench forest: trained fixture, nodes/tree="
+        fixture_id = hashlib.sha256(open(fixture, "rb").read()).hexdigest()[:16]
+        metric = "keyframes_per_sec_per_chip_e2e"
+        print(f"bench forest: trained fixture {fixture_id}, nodes/tree="
               f"{forest.node_counts}", file=sys.stderr)
     else:
         forest = random_forest(
             rng, num_trees=4, depth=30, num_features=366,
             class_counts=[8, 9], max_nodes=40001,
         )
+        fixture_id = "random-fallback"
+        metric = "keyframes_per_sec_per_chip_e2e_randomforest"
         print("bench forest: random fallback (fixture missing)",
               file=sys.stderr)
     pipeline = SingleFramePipeline(
@@ -113,8 +125,6 @@ def main() -> None:
         depth[holes] = 0
         return np.clip(depth, 0, 15500).astype(np.uint16)
 
-    N_EPOCHS = 2  # report the best epoch: tunnel flow-control state is
-    # bimodal run-to-run (~1.6x swings) for identical device work
     frames = [
         (rng.integers(0, 256, (h, w, 3), dtype=np.uint8), make_depth(rng))
         for _ in range(N_KEYFRAMES)
@@ -135,28 +145,30 @@ def main() -> None:
     # hardware's ingest path (a real v5e host feeds frames over PCIe at
     # GB/s). Epochs perturb the staged frames on device, so the runtime's
     # execution memoization never sees identical inputs.
-    n_batches = N_KEYFRAMES // MAP_EVERY
-    rgb_stacks = [
-        jnp.asarray(
-            np.stack([frames[b * MAP_EVERY + i][0] for i in range(MAP_EVERY)])
+    def stacks_for(batch: int):
+        n_batches = N_KEYFRAMES // batch
+        rgb_stacks = [
+            jnp.asarray(
+                np.stack([frames[b * batch + i][0] for i in range(batch)])
+            )
+            for b in range(n_batches)
+        ]
+        depth_stacks = [
+            jnp.asarray(
+                np.stack([frames[b * batch + i][1] for i in range(batch)])
+            )
+            for b in range(n_batches)
+        ]
+        kinv = jnp.asarray(
+            np.tile(calib.intrinsic_inverse[None], (batch, 1, 1)).astype(
+                np.float32
+            )
         )
-        for b in range(n_batches)
-    ]
-    depth_stacks = [
-        jnp.asarray(
-            np.stack([frames[b * MAP_EVERY + i][1] for i in range(MAP_EVERY)])
+        rot = jnp.asarray(
+            np.tile(np.eye(3, dtype=np.float32)[None], (batch, 1, 1))
         )
-        for b in range(n_batches)
-    ]
-    kinv_stack = jnp.asarray(
-        np.tile(calib.intrinsic_inverse[None], (MAP_EVERY, 1, 1)).astype(
-            np.float32
-        )
-    )
-    rot_stack = jnp.asarray(
-        np.tile(np.eye(3, dtype=np.float32)[None], (MAP_EVERY, 1, 1))
-    )
-    trans_stack = jnp.asarray(np.zeros((MAP_EVERY, 3), np.float32))
+        trans = jnp.asarray(np.zeros((batch, 3), np.float32))
+        return rgb_stacks, depth_stacks, kinv, rot, trans
 
     @jax.jit
     def perturb(rgb, depth, e):
@@ -165,64 +177,124 @@ def main() -> None:
             depth > 0, (depth + e.astype(jnp.uint16)), 0
         )
 
-    # Warmup/compile both paths. Posteriors stay on device end to end —
-    # they are consumed by the on-device unary accumulation; pulling them to
-    # the host would add ~20MB of transfers per keyframe for nothing.
-    warm = pipeline.run_batch_stacked(
-        rgb_stacks[0], depth_stacks[0], kinv_stack, rot_stack, trans_stack
-    )
-    warm_nodes = [
-        MapNodeFrames(pose=np.eye(4), posteriors=[list(r.posteriors)])
-        for r in warm
-    ]
-    map_pipeline.run(cloud_pts, cloud_rgb, warm_nodes)
+    def run_epochs(batch: int, n_epochs: int):
+        """kf/s per epoch at `batch` keyframes per dispatch.
 
-    kf_per_sec = 0.0
-    maps_done = 0
-    # ONE map-fusion worker thread, exactly the reference's architecture
-    # (segmenter.cpp:227-232 spawns one frame worker + one map worker):
-    # the map's host-side stage (native lattice build + dispatch) runs off
-    # the keyframe path.
-    fusion_worker = ThreadPoolExecutor(max_workers=1)
-    for epoch in range(N_EPOCHS):
-        start = time.perf_counter()
-        pending = []
-        e = jnp.int32(epoch * 17 + 3)
-        for b in range(n_batches):
-            rgb_b, depth_b = perturb(rgb_stacks[b], depth_stacks[b], e + b)
-            results = pipeline.run_batch_stacked(
-                rgb_b, depth_b, kinv_stack, rot_stack, trans_stack
-            )
-            nodes = [
-                MapNodeFrames(pose=np.eye(4), posteriors=[list(r.posteriors)])
-                for r in results
-            ]
-            pending.append(
-                fusion_worker.submit(
-                    map_pipeline.run_device,
-                    cloud_pts + maps_done * 0.001, cloud_rgb, nodes,
+        Map cadence stays one map per MAP_EVERY keyframes regardless of
+        the dispatch batch (the reference cost model); a batch of 10
+        feeds two maps. ONE map-fusion worker thread, exactly the
+        reference's architecture (segmenter.cpp:227-232 spawns one frame
+        worker + one map worker): the map's host-side stage (native
+        lattice build + dispatch) runs off the keyframe path.
+        """
+        rgb_stacks, depth_stacks, kinv, rot, trans = stacks_for(batch)
+        n_batches = len(rgb_stacks)
+        maps_per_batch = batch // MAP_EVERY
+
+        # Warmup/compile both paths. Posteriors stay on device end to
+        # end — they are consumed by the on-device unary accumulation;
+        # pulling them to the host would add ~20MB/keyframe of transfers.
+        warm = pipeline.run_batch_stacked(
+            rgb_stacks[0], depth_stacks[0], kinv, rot, trans
+        )
+        warm_nodes = [
+            MapNodeFrames(pose=np.eye(4), posteriors=[list(r.posteriors)])
+            for r in warm[:MAP_EVERY]
+        ]
+        map_pipeline.run(cloud_pts, cloud_rgb, warm_nodes)
+
+        rates = []
+        maps_done = 0
+        fusion_worker = ThreadPoolExecutor(max_workers=1)
+        for epoch in range(n_epochs):
+            start = time.perf_counter()
+            pending = []
+            e = jnp.int32(epoch * 17 + 3)
+            for b in range(n_batches):
+                rgb_b, depth_b = perturb(rgb_stacks[b], depth_stacks[b], e + b)
+                results = pipeline.run_batch_stacked(
+                    rgb_b, depth_b, kinv, rot, trans
                 )
+                for m in range(maps_per_batch):
+                    nodes = [
+                        MapNodeFrames(
+                            pose=np.eye(4), posteriors=[list(r.posteriors)]
+                        )
+                        for r in results[m * MAP_EVERY : (m + 1) * MAP_EVERY]
+                    ]
+                    pending.append(
+                        fusion_worker.submit(
+                            map_pipeline.run_device,
+                            cloud_pts + maps_done * 0.001, cloud_rgb, nodes,
+                        )
+                    )
+                    maps_done += 1
+            # All work must COMPLETE inside the timed region — and results
+            # must be MATERIALIZED: block_until_ready alone returns early
+            # while remote compiles are pending (see ROADMAP.md). ONE fused
+            # download: each np.asarray round trip costs ~35 ms of link
+            # latency, so the per-epoch label arrays ride a single
+            # device-side concatenation.
+            all_labels = [l for fut in pending for l in fut.result()]
+            np.asarray(
+                jnp.concatenate([l.astype(jnp.int32) for l in all_labels])
             )
-            maps_done += 1
-        # All work must COMPLETE inside the timed region — and results
-        # must be MATERIALIZED: block_until_ready alone returns early
-        # while remote compiles are pending (see ROADMAP.md). ONE fused
-        # download: each np.asarray round trip costs ~35 ms of link
-        # latency, so the 12 per-epoch label arrays ride a single
-        # device-side concatenation.
-        all_labels = [l for fut in pending for l in fut.result()]
-        np.asarray(jnp.concatenate([l.astype(jnp.int32) for l in all_labels]))
-        elapsed = time.perf_counter() - start
-        kf_per_sec = max(kf_per_sec, N_KEYFRAMES / elapsed)
-    fusion_worker.shutdown()
+            rates.append(N_KEYFRAMES / (time.perf_counter() - start))
+        fusion_worker.shutdown()
+        return rates
+
+    # Batch-size sweep: the smaller sizes get one probing epoch; the best
+    # batch gets the full epoch count for the headline number.
+    curve = {}
+    for b in BATCH_SIZES:
+        curve[b] = max(run_epochs(b, 2))
+        print(f"batch {b}: {curve[b]:.2f} kf/s", file=sys.stderr)
+    best_batch = max(curve, key=curve.get)
+    rates = run_epochs(best_batch, N_EPOCHS)
+    rates = sorted(rates + [curve[best_batch]])
+    best = rates[-1]
+    median = rates[len(rates) // 2]
+
+    # Coarse stage split (frame path vs map path), measured with the
+    # already-compiled executables: frame path blocked per batch (no map
+    # work), then the map path alone.
+    rgb_stacks, depth_stacks, kinv, rot, trans = stacks_for(best_batch)
+    t0 = time.perf_counter()
+    for b in range(len(rgb_stacks)):
+        rgb_b, depth_b = perturb(rgb_stacks[b], depth_stacks[b], jnp.int32(b + 91))
+        results = pipeline.run_batch_stacked(rgb_b, depth_b, kinv, rot, trans)
+    np.asarray(
+        jnp.concatenate(
+            [r.labels[0].astype(jnp.int32) for r in results]
+        )
+    )
+    frame_ms = (time.perf_counter() - t0) * 1000.0 / N_KEYFRAMES
+    nodes = [
+        MapNodeFrames(pose=np.eye(4), posteriors=[list(r.posteriors)])
+        for r in results[:MAP_EVERY]
+    ]
+    t0 = time.perf_counter()
+    labels = map_pipeline.run_device(cloud_pts + 0.017, cloud_rgb, nodes)
+    np.asarray(jnp.concatenate([l.astype(jnp.int32) for l in labels]))
+    map_ms = (time.perf_counter() - t0) * 1000.0
 
     print(
         json.dumps(
             {
-                "metric": "keyframes_per_sec_per_chip_e2e",
-                "value": round(kf_per_sec, 3),
+                "metric": metric,
+                "value": round(best, 3),
                 "unit": "keyframes/s",
-                "vs_baseline": round(kf_per_sec / 100.0, 4),
+                "vs_baseline": round(best / 100.0, 4),
+                "fixture": fixture_id,
+                "best": round(best, 3),
+                "median": round(median, 3),
+                "epochs": [round(r, 3) for r in rates],
+                "batch": best_batch,
+                "batch_curve": {str(k): round(v, 3) for k, v in curve.items()},
+                "stages": {
+                    "frame_path_ms_per_kf": round(frame_ms, 2),
+                    "map_path_ms_per_map": round(map_ms, 2),
+                },
             }
         )
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,14 +53,6 @@ class LevelMajorForest:
     num_levels: int
     feat_bits: int
     class_counts: Tuple[int, ...]
-    # Child payloads for the grandchild-stepping kernel: node i's two
-    # children's full records aligned AT i, so one sweep of a node's level
-    # also yields everything needed to resolve the next level without
-    # sweeping it (zeros at leaves).
-    meta_c0: Optional[np.ndarray] = None  # [T, Np] i32 = meta[left_child]
-    thr_c0: Optional[np.ndarray] = None  # [T, Np] f32 = thr[left_child]
-    meta_c1: Optional[np.ndarray] = None  # [T, Np] i32 = meta[left_child+1]
-    thr_c1: Optional[np.ndarray] = None  # [T, Np] f32 = thr[left_child+1]
 
     @property
     def padded_nodes(self) -> int:
@@ -133,22 +125,6 @@ def build_level_major(forest: Forest) -> LevelMajorForest:
         off_all[t, :levels] = offsets // LANES
         chunks_all[t, :levels] = chunks
 
-    # Child payloads (grandchild-stepping kernel): record of each child at
-    # the parent's slot. Leaves (left == 0) keep zeros; padded slots are
-    # zero already, and zeros decode as leaves everywhere downstream.
-    lefts = (meta_all >> feat_bits).astype(np.int64)
-    has = lefts != 0
-    meta_c0 = np.zeros_like(meta_all)
-    thr_c0 = np.zeros_like(thr_all)
-    meta_c1 = np.zeros_like(meta_all)
-    thr_c1 = np.zeros_like(thr_all)
-    for t in range(t_count):
-        l = lefts[t][has[t]]
-        meta_c0[t][has[t]] = meta_all[t, l]
-        thr_c0[t][has[t]] = thr_all[t, l]
-        meta_c1[t][has[t]] = meta_all[t, l + 1]
-        thr_c1[t][has[t]] = thr_all[t, l + 1]
-
     return LevelMajorForest(
         meta=meta_all,
         thresholds=thr_all,
@@ -158,10 +134,6 @@ def build_level_major(forest: Forest) -> LevelMajorForest:
         num_levels=max_levels,
         feat_bits=feat_bits,
         class_counts=tuple(forest.class_counts),
-        meta_c0=meta_c0,
-        thr_c0=thr_c0,
-        meta_c1=meta_c1,
-        thr_c1=thr_c1,
     )
 
 
@@ -321,175 +293,6 @@ def _descent_kernel(
         out_ref[:, pl.ds(t * LANES, LANES)] = nodes[t]
 
 
-def _descent_gc_kernel(
-    off_ref,  # SMEM [T, LV] level offsets (in 128-chunk units)
-    nch_ref,  # SMEM [T, LV] level chunk counts
-    feats_ref,  # VMEM [TILE, FC * 128] feature tile
-    meta_ref,  # VMEM [T, Np // 128, 128]
-    thr_ref,  # VMEM [T, Np // 128, 128]
-    mc0_ref,  # VMEM [T, Np // 128, 128] child-0 record at the parent slot
-    tc0_ref,  # VMEM [T, Np // 128, 128]
-    mc1_ref,  # VMEM [T, Np // 128, 128] child-1 record at the parent slot
-    tc1_ref,  # VMEM [T, Np // 128, 128]
-    out_ref,  # VMEM [TILE // 128, T * 128] leaf ids, points on lanes
-    *,
-    num_trees: int,
-    num_levels: int,
-    feat_bits: int,
-    feat_chunks: int,
-    tile: int,
-):
-    """Grandchild stepping: TWO levels per sweep AND per x-lookup round.
-
-    The base kernel's per-level cost is one chunk sweep plus one
-    [tile, 128]-domain x-lookup round (the dominant ~8 of 12 ms). Here the
-    tree tables carry each node's CHILDREN's records aligned at the parent
-    (``build_level_major`` bakes meta_c0/thr_c0/meta_c1/thr_c1), so a
-    single-target sweep of the node's level yields everything needed to
-    resolve levels l AND l+1: the three candidate feature ids
-    (f_node, f_child0, f_child1) pack into one int32 (3*feat_bits <= 31)
-    and resolve through ONE x-round (T diag + FC chunk gathers), after
-    which the grandchild id is known and the next sweep targets level l+2
-    directly. Odd levels are never swept; points that settle on a leaf or
-    a child-leaf read masked/zero records at the next sweep, which decode
-    as leaves and park them. Per 2 levels: T+FC [tile,128] gathers vs
-    2*(ceil(T/3)+FC) for the base kernel, and half the sweep iterations
-    (6 payload gathers per chunk instead of 2, but chunk-loop overhead
-    ~140 cycles/iter dominates). Replaces the retired _descent2_kernel,
-    which swept every level (l and l+1) and measured slower than base."""
-    fmask = (1 << feat_bits) - 1
-    s_rows = tile // LANES
-
-    lane_of_p = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0) % LANES
-    )
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
-    lane_mod3 = lane_id - (lane_id // 3) * 3
-    lane_tree = lane_id // 3
-
-    max_chunk_idx = meta_ref.shape[1] - 1
-    lv_max = off_ref.shape[1] - 1
-    refs6 = (meta_ref, thr_ref, mc0_ref, tc0_ref, mc1_ref, tc1_ref)
-
-    def sweep6(l, nodes):
-        """Fetch all six payloads for each tree's target node at level l."""
-        offs = [off_ref[t, l] for t in range(num_trees)]
-        locals_ = [nodes[t] - offs[t] * LANES for t in range(num_trees)]
-        max_chunks = nch_ref[0, l]
-        for t in range(1, num_trees):
-            max_chunks = jnp.maximum(max_chunks, nch_ref[t, l])
-
-        def chunk_body(c, carry):
-            out = list(carry)
-            base = c * LANES
-            for t in range(num_trees):
-                local = locals_[t]
-                in_chunk = (local >= base) & (local < base + LANES)
-                r = jnp.clip(local - base, 0, LANES - 1)
-                row = jnp.minimum(offs[t] + c, max_chunk_idx)
-                for j, ref in enumerate(refs6):
-                    chunk = jnp.broadcast_to(
-                        ref[t, row, :].reshape(1, LANES), (s_rows, LANES)
-                    )
-                    g = jnp.take_along_axis(chunk, r, axis=1)
-                    out[6 * t + j] = jnp.where(in_chunk, g, out[6 * t + j])
-            return tuple(out)
-
-        init = []
-        for _ in range(num_trees):
-            init.append(jnp.zeros((s_rows, LANES), jnp.int32))
-            init.append(jnp.zeros((s_rows, LANES), jnp.float32))
-            init.append(jnp.zeros((s_rows, LANES), jnp.int32))
-            init.append(jnp.zeros((s_rows, LANES), jnp.float32))
-            init.append(jnp.zeros((s_rows, LANES), jnp.int32))
-            init.append(jnp.zeros((s_rows, LANES), jnp.float32))
-        return jax.lax.fori_loop(0, max_chunks, chunk_body, tuple(init))
-
-    def level_cond(state):
-        l, active = state[0], state[1]
-        return (l < num_levels) & (active > 0)
-
-    def level_body(state):
-        l, _, nodes = state[0], state[1], state[2]
-        rec = state[3]  # 6 payloads per tree for the CURRENT node
-
-        # Pack (f_node, f_child0, f_child1) per tree into one int32 word.
-        fp = []
-        for t in range(num_trees):
-            f_n = rec[6 * t] & fmask
-            f_c0 = rec[6 * t + 2] & fmask
-            f_c1 = rec[6 * t + 4] & fmask
-            fp.append(f_n | (f_c0 << feat_bits) | (f_c1 << (2 * feat_bits)))
-        fp_stack = jnp.concatenate(fp, axis=1)  # [S, T * 128]
-        fp_rows = jnp.broadcast_to(
-            fp_stack[:, None, :], (s_rows, LANES, num_trees * LANES)
-        ).reshape(tile, num_trees * LANES)
-
-        # Up-convert per tree (diag gather), spread the three fields over
-        # lanes 3t / 3t+1 / 3t+2 with static shifts + a lane_mod3 select.
-        packed = jnp.zeros((tile, LANES), jnp.int32)
-        for t in range(num_trees):
-            rep = jnp.take_along_axis(
-                fp_rows[:, t * LANES : (t + 1) * LANES], lane_of_p, axis=1
-            )
-            packed = jnp.where(lane_tree == t, rep, packed)
-        packed = jnp.where(
-            lane_mod3 == 0, packed,
-            jnp.where(lane_mod3 == 1, packed >> feat_bits,
-                      packed >> (2 * feat_bits)),
-        ) & fmask
-
-        # x[p, f] for all 3T lanes at once.
-        f_chunk = packed // LANES
-        f_lane = packed - f_chunk * LANES
-        x_pack = jnp.zeros((tile, LANES), jnp.float32)
-        for fc in range(feat_chunks):
-            chunk = feats_ref[:, pl.ds(fc * LANES, LANES)]
-            xc = jnp.take_along_axis(chunk, f_lane, axis=1)
-            x_pack = jnp.where(f_chunk == fc, xc, x_pack)
-
-        new_nodes = []
-        moving = jnp.zeros((s_rows, LANES), jnp.int32)
-        for t in range(num_trees):
-            x_n = x_pack[:, 3 * t : 3 * t + 1].reshape(s_rows, LANES)
-            x_c0 = x_pack[:, 3 * t + 1 : 3 * t + 2].reshape(s_rows, LANES)
-            x_c1 = x_pack[:, 3 * t + 2 : 3 * t + 3].reshape(s_rows, LANES)
-            meta_n, thr_n = rec[6 * t], rec[6 * t + 1]
-            lc = meta_n >> feat_bits
-            leaf_n = lc == 0
-            sel = x_n >= thr_n
-            child = lc + sel.astype(jnp.int32)
-            meta_c = jnp.where(sel, rec[6 * t + 4], rec[6 * t + 2])
-            thr_c = jnp.where(sel, rec[6 * t + 5], rec[6 * t + 3])
-            x_c = jnp.where(sel, x_c1, x_c0)
-            lc2 = meta_c >> feat_bits
-            leaf_c = lc2 == 0
-            nxt = jnp.where(leaf_c, child, lc2 + (x_c >= thr_c).astype(jnp.int32))
-            new_nodes.append(jnp.where(leaf_n, nodes[t], nxt))
-
-        # Fetch the grandchild records (level l+2). Points parked on a
-        # leaf (at any shallower level) or on a child-leaf miss every
-        # chunk's range mask and read zeros -> decoded as leaves.
-        rec_new = sweep6(jnp.minimum(l + 2, lv_max), tuple(new_nodes))
-        # Still active iff some point's fresh record is a non-leaf.
-        for t in range(num_trees):
-            moving = moving | (rec_new[6 * t] >> feat_bits != 0).astype(
-                jnp.int32
-            )
-        return (l + 2, jnp.sum(moving), tuple(new_nodes), rec_new)
-
-    nodes0 = tuple(
-        jnp.zeros((s_rows, LANES), jnp.int32) for _ in range(num_trees)
-    )
-    rec0 = sweep6(0, nodes0)
-    _, _, nodes, _ = jax.lax.while_loop(
-        level_cond, level_body, (jnp.int32(0), jnp.int32(1), nodes0, rec0)
-    )
-    for t in range(num_trees):
-        out_ref[:, pl.ds(t * LANES, LANES)] = nodes[t]
-
-
-@partial(jax.jit, static_argnames=("num_levels", "feat_bits", "tile", "interpret"))
 def find_leaves_pallas(
     features: jnp.ndarray,  # [P, D] f32 (P % tile == 0 after padding)
     meta: jnp.ndarray,  # [T, Np] i32
@@ -500,7 +303,6 @@ def find_leaves_pallas(
     feat_bits: int,
     tile: int = 1024,
     interpret: bool = False,
-    child_records: Optional[Tuple[jnp.ndarray, ...]] = None,
 ) -> jnp.ndarray:  # [P, T] leaf ids (level-major numbering)
     # Mosaic targets TPUs; anywhere else (CPU tests, virtual meshes) the
     # kernel runs through the Pallas interpreter transparently.
@@ -519,24 +321,9 @@ def find_leaves_pallas(
     meta = meta.reshape(t_count, np_nodes // LANES, LANES)
     thresholds = thresholds.reshape(t_count, np_nodes // LANES, LANES)
 
-    # Grandchild stepping needs the child payload tables, 3 packed
-    # feature ids per int32, and 3 lanes per tree.
-    use_gc = (
-        child_records is not None
-        and 3 * feat_bits <= 31
-        and 3 * t_count <= LANES
-    )
-    if use_gc:
-        aux = [
-            a.reshape(t_count, np_nodes // LANES, LANES)
-            for a in child_records
-        ]
-        kernel, extra = _descent_gc_kernel, aux
-    else:
-        kernel, extra = _descent_kernel, []
     out = pl.pallas_call(
         partial(
-            kernel,
+            _descent_kernel,
             num_trees=t_count,
             num_levels=num_levels,
             feat_bits=feat_bits,
@@ -550,8 +337,7 @@ def find_leaves_pallas(
             pl.BlockSpec((tile, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
+        ],
         out_specs=pl.BlockSpec(
             (tile // LANES, t_count * LANES),
             lambda i: (i, 0),
@@ -561,7 +347,7 @@ def find_leaves_pallas(
             (p_pad // LANES, t_count * LANES), jnp.int32
         ),
         interpret=interpret,
-    )(level_offsets, level_chunks, feats, meta, thresholds, *extra)
+    )(level_offsets, level_chunks, feats, meta, thresholds)
 
     # out[p // 128, t * 128 + p % 128] -> [P, T].
     leaves = (
@@ -584,13 +370,6 @@ class PallasForestPredictor:
         self.level_offsets = jnp.asarray(self.lm.level_offsets)
         self.level_chunks = jnp.asarray(self.lm.level_chunks)
         self.class_counts = self.lm.class_counts
-        self.child_records = tuple(
-            jnp.asarray(a)
-            for a in (
-                self.lm.meta_c0, self.lm.thr_c0,
-                self.lm.meta_c1, self.lm.thr_c1,
-            )
-        )
 
     def leaves(self, features: jnp.ndarray) -> jnp.ndarray:
         return find_leaves_pallas(
@@ -602,7 +381,6 @@ class PallasForestPredictor:
             num_levels=self.lm.num_levels,
             feat_bits=self.lm.feat_bits,
             interpret=self.interpret,
-            child_records=self.child_records,
         )
 
     def log_posterior(self, features: jnp.ndarray) -> jnp.ndarray:

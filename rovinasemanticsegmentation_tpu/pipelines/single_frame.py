@@ -145,7 +145,6 @@ def _single_frame_impl(
 def _single_frame_impl_pallas(
     rgb, depth_mm, intrinsic_inverse, rotation, translation, d_min, d_max,
     meta, thresholds, level_offsets, level_chunks, leaf_hist,
-    child_records,
     *, stride, patch_size, reduce_size, use_color_patch, use_depth,
     use_height, use_normal, num_levels, feat_bits, class_counts,
     fill_value, out_h, out_w,
@@ -161,7 +160,6 @@ def _single_frame_impl_pallas(
     leaves = find_leaves_pallas(
         features, meta, thresholds, level_offsets, level_chunks,
         num_levels=num_levels, feat_bits=feat_bits,
-        child_records=child_records,
     )
     post = _sum_leaf_histograms(leaf_hist, leaves)
     return _posterior_maps(
@@ -180,7 +178,6 @@ def _single_frame_impl_pallas(
 def _batch_frame_impl_pallas(
     rgb, depth_mm, intrinsic_inverse, rotation, translation, d_min, d_max,
     meta, thresholds, level_offsets, level_chunks, leaf_hist,
-    child_records,
     *, stride, patch_size, reduce_size, use_color_patch, use_depth,
     use_height, use_normal, num_levels, feat_bits, class_counts,
     fill_value, out_h, out_w,
@@ -211,7 +208,6 @@ def _batch_frame_impl_pallas(
     leaves = find_leaves_pallas(
         feats, meta, thresholds, level_offsets, level_chunks,
         num_levels=num_levels, feat_bits=feat_bits,
-        child_records=child_records,
     )
     post = _sum_leaf_histograms(leaf_hist, leaves)  # [B*P, L, Cmax]
     p = masks[0].shape[0]
@@ -305,7 +301,7 @@ class SingleFramePipeline:
             jnp.float32(cfg.d_min),
             jnp.float32(cfg.d_max),
             pp.meta, pp.thresholds, pp.level_offsets, pp.level_chunks,
-            pp.leaf_hist, pp.child_records,
+            pp.leaf_hist,
             stride=self.stride,
             patch_size=cfg.patch_size,
             reduce_size=cfg.patch_size_reduce,
@@ -343,7 +339,7 @@ class SingleFramePipeline:
                 jnp.float32(cfg.d_min),
                 jnp.float32(cfg.d_max),
                 pp.meta, pp.thresholds, pp.level_offsets, pp.level_chunks,
-                pp.leaf_hist, pp.child_records,
+                pp.leaf_hist,
                 stride=self.stride,
                 patch_size=cfg.patch_size,
                 reduce_size=cfg.patch_size_reduce,

@@ -151,12 +151,6 @@ def main():
             f + i.astype(jnp.float32) * 1e-5, meta, thr, off, nch,
             num_levels=pp.lm.num_levels, feat_bits=pp.lm.feat_bits)
 
-    def st_descent_gc(i, f, meta, thr, off, nch, *cr):
-        return find_leaves_pallas(
-            f + i.astype(jnp.float32) * 1e-5, meta, thr, off, nch,
-            num_levels=pp.lm.num_levels, feat_bits=pp.lm.feat_bits,
-            child_records=cr)
-
     def st_hist(i, lv, hist):
         return _sum_leaf_histograms(hist, jnp.abs(lv - (i % 97)) % lv.shape[0])
 
@@ -172,10 +166,8 @@ def main():
     slope("lab+pad", st_lab, rgb)
     slope("patches_pallas", st_patches, lab0, dgrid)
     slope("backproject+normals", st_normals, depth)
-    slope("descent (base 1-level)", st_descent, feats, pp.meta, pp.thresholds,
+    slope("descent", st_descent, feats, pp.meta, pp.thresholds,
           pp.level_offsets, pp.level_chunks)
-    slope("descent (grandchild)", st_descent_gc, feats, pp.meta, pp.thresholds,
-          pp.level_offsets, pp.level_chunks, *pp.child_records)
     slope("leaf-hist sum", st_hist, leaves, pp.leaf_hist)
     slope("resize+argmax", st_resize, post)
 

@@ -73,38 +73,9 @@ class TestPallasKernel:
         )
         np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-6)
 
-    @pytest.mark.parametrize("seed,trees,depth,nodes", [(2, 3, 20, 2001)])
-    def test_grandchild_kernel_matches_base(self, seed, trees, depth, nodes):
-        """The grandchild-stepping kernel must return the exact same leaf
-        ids as the one-level kernel on deep uneven trees (odd leaf depths
-        exercise the child-leaf parking path)."""
-        from rovinasemanticsegmentation_tpu.ops.forest_pallas import (
-            find_leaves_pallas,
-        )
-
-        rng = np.random.default_rng(seed)
-        forest = random_forest(rng, trees, depth, 150, [8, 9], max_nodes=nodes)
-        pp = PallasForestPredictor(forest, interpret=True)
-        x = jnp.asarray(rng.normal(size=(500, 150)).astype(np.float32))
-        base = np.asarray(
-            find_leaves_pallas(
-                x, pp.meta, pp.thresholds, pp.level_offsets, pp.level_chunks,
-                num_levels=pp.lm.num_levels, feat_bits=pp.lm.feat_bits,
-                interpret=True,
-            )
-        )
-        gc = np.asarray(
-            find_leaves_pallas(
-                x, pp.meta, pp.thresholds, pp.level_offsets, pp.level_chunks,
-                num_levels=pp.lm.num_levels, feat_bits=pp.lm.feat_bits,
-                interpret=True, child_records=pp.child_records,
-            )
-        )
-        np.testing.assert_array_equal(gc, base)
-
-    def test_wide_feature_space_falls_back(self):
-        # 3 * feat_bits > 31 can't pack three ids per int32; the predictor
-        # must transparently use the one-level kernel and stay correct.
+    def test_wide_feature_space(self):
+        # feat_bits = 11 means only 2 feature ids pack per int32; the
+        # kernel's per-word grouping must stay correct.
         rng = np.random.default_rng(5)
         forest = random_forest(rng, 2, 6, 1500, [4], max_nodes=101)
         x = jnp.asarray(rng.normal(size=(300, 1500)).astype(np.float32))
