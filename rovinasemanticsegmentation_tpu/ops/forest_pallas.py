@@ -168,7 +168,13 @@ def _descent_kernel(
     leaves live around depth log2(nodes) ~ 15-17, far above max_depth=30;
     29 -> 22 ms). (Rejected alternatives, measured: [tile,1] column
     gathers — unsupported by Mosaic; one-hot compare/mult/reduce fetch —
-    43 ms; chunk-sweep unroll x2 — 567 ms(!).)"""
+    43 ms; chunk-sweep unroll x2 — 567 ms(!); replacing the diag gather
+    with ``word.reshape(tile, 1)`` + lane broadcast — Mosaic rejects the
+    [S,128]->[tile,1] shape cast ("infer-vector-layout: unsupported"),
+    only the [tile,1]->[S,128] direction is supported; grandchild
+    stepping (2 levels/sweep via child records baked at the parent) —
+    17.2 vs 11.9 ms, the 3x sweep payload outweighs the halved x-lookup
+    rounds.)"""
     fmask = (1 << feat_bits) - 1
     s_rows = tile // LANES
 
