@@ -1,9 +1,11 @@
 """Pallas TPU kernel for depth-adaptive patch extraction.
 
-Third-generation formulation (after the gather version in ``ops/patches.py``
-and the dense-slice scan in ``ops/patches_scan.py``). The scan's cost scales
-with (distinct window sizes present in the FRAME) x (full-frame slices); this
-kernel exploits locality instead:
+Fourth-generation formulation (after the gather version in ``ops/patches.py``,
+the dense-slice scan in ``ops/patches_scan.py``, and the per-(i,j,ch) tap
+kernel this file held through round 2). The scan's cost scales with (distinct
+window sizes present in the FRAME) x (full-frame slices); this kernel
+exploits locality instead, and batches the inner resize so the per-window-size
+cost is a handful of wide vector ops instead of ~3600 narrow ones:
 
 - one program covers 8 grid rows; their source window (8*stride + 2B rows x
   the full padded width) is DMA'd once into VMEM, double phase-split (row
@@ -12,17 +14,26 @@ kernel exploits locality instead:
 - the window-size loop runs over only the h values present in THOSE 8 rows
   (neighboring pixels have similar depth, so per-block h-sets are small);
 - per (h, output row i): two sublane row-reads + channel unpack + row
-  interpolation; per (h, i, j): two dynamic lane rolls + fixed-point column
-  interpolation, masked into the accumulator where ``half == h``.
+  interpolation into an i-stacked scratch ``ri[colphase, ch, i, row, lane]``;
+- per (h, output col j, ch): ONE colphase select + two dynamic lane rolls +
+  fixed-point column interpolation on the whole ``[R, 8, WL]`` i-stack, and
+  ONE masked store into the ``[j*3+ch, i, row, lane]``-layout accumulator --
+  the rolls/madds/stores that used to run per (i, j, ch) now run per (j, ch)
+  on 11x-wider data, which is the difference between op-overhead-bound and
+  throughput-bound on the VPU;
+- the (i,j,ch) -> feature-order unswizzle happens OUTSIDE the kernel as one
+  XLA transpose of the uint8 output (it used to be 363 narrow VMEM stores
+  per h inside the kernel).
 
 Bit-exact with the other two implementations (same 1/2048 weights and
-``(acc + 2^21) >> 22`` rounding).
+``(acc + 2^21) >> 22`` rounding). Reference semantics:
+``/root/reference/include/feature_extractor.h:125-175`` (window
+``patch_size/depth``, bilinear resize to ``patch_size_reduce^2 x 3``).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,9 +55,10 @@ def _kernel(
     w1_ref,  # SMEM [NH, R]
     half_ref,  # VMEM [8, WL] per-point half (-1 pad)
     img_ref,  # ANY  [s, HPH, s, WL] packed phased image (whole array)
-    out_ref,  # VMEM [8, KPAD, WL] uint8
+    out_ref,  # VMEM [KC, R, 8, WL] uint8, KC = 3R (j,ch-major layout);
+    #            doubles as the accumulator (post-shift values fit u8)
     region_ref,  # scratch VMEM [s, WINS, s, WL] int32
-    acc_ref,  # scratch VMEM [8, KPAD, WL] int32
+    ri_ref,  # scratch VMEM [s, 3, R, 8, WL] int32 (row-interp i-stack)
     sem,  # DMA semaphore
     *,
     stride: int,
@@ -64,15 +76,15 @@ def _kernel(
     copy.start()
 
     half = half_ref[:, :]  # [8, WL]
-    kpad = acc_ref.shape[1]
-    acc_ref[:, :, :] = jnp.zeros((ROWS_PER_PROGRAM, kpad, wl), jnp.int32)
+    out_ref[...] = jnp.zeros(out_ref.shape, jnp.uint8)
 
     copy.wait()
 
     def h_body(h, _):
         @pl.when(present_ref[prog, h] > 0)
         def _():
-            mask = half == h  # [8, WL]
+            mask = (half == h)[None]  # [1, 8, WL] -> broadcasts over i
+            # --- row stage: interpolate the 2R tap rows into ri ---
             for i in range(r_size):
                 oy0 = t0_ref[h, i]
                 oy1 = t1_ref[h, i]
@@ -89,44 +101,38 @@ def _kernel(
 
                 rows0 = tap_rows(oy0)
                 rows1 = tap_rows(oy1)
-                # Row interpolation per channel, still packed by col phase.
-                ri = []  # [colphase][channel] -> [8, WL]
                 for cp in range(stride):
-                    chans = []
                     for ch in range(3):
                         a = (rows0[:, cp, :] >> (8 * ch)) & 255
                         b = (rows1[:, cp, :] >> (8 * ch)) & 255
-                        chans.append(wy0 * a + wy1 * b)
-                    ri.append(chans)
+                        ri_ref[cp, ch, i] = wy0 * a + wy1 * b
 
-                for j in range(r_size):
-                    ox0 = t0_ref[h, j]
-                    ox1 = t1_ref[h, j]
-                    wx0 = w0_ref[h, j]
-                    wx1 = w1_ref[h, j]
-
-                    def tap_cols(ox, ch):
-                        # Tap col for point p is p*s + ox: col phase ox % s,
-                        # lane p + ox // s -> dynamic left rotation.
-                        cp = ox % stride
-                        sel = ri[0][ch]
-                        for c in range(1, stride):
-                            sel = jnp.where(cp == c, ri[c][ch], sel)
-                        return pltpu.roll(sel, -(ox // stride), axis=1)
-
-                    for ch in range(3):
-                        v = (
-                            wx0 * tap_cols(ox0, ch)
-                            + wx1 * tap_cols(ox1, ch)
-                            + (1 << 21)
-                        ) >> 22
-                        k = (i * r_size + j) * 3 + ch
-                        cur = acc_ref[:, k, :]
-                        acc_ref[:, k, :] = jnp.where(mask, v, cur)
+            # --- column stage: whole i-stack per (j, ch) ---
+            for j in range(r_size):
+                ox0 = t0_ref[h, j]
+                ox1 = t1_ref[h, j]
+                wx0 = w0_ref[h, j]
+                wx1 = w1_ref[h, j]
+                cp0 = ox0 % stride
+                cp1 = ox1 % stride
+                sh0 = ox0 // stride
+                sh1 = ox1 // stride
+                for ch in range(3):
+                    stack = ri_ref[:, ch]  # [s, R, 8, WL]
+                    sel0 = stack[0]
+                    sel1 = stack[0]
+                    for c in range(1, stride):
+                        sel0 = jnp.where(cp0 == c, stack[c], sel0)
+                        sel1 = jnp.where(cp1 == c, stack[c], sel1)
+                    v0 = pltpu.roll(sel0, -sh0, axis=2)
+                    v1 = pltpu.roll(sel1, -sh1, axis=2)
+                    val = (wx0 * v0 + wx1 * v1 + (1 << 21)) >> 22
+                    val = jnp.clip(val, 0, 255).astype(jnp.uint8)
+                    k = j * 3 + ch
+                    out_ref[k] = jnp.where(mask, val, out_ref[k])
         return 0
 
     jax.lax.fori_loop(0, nh, h_body, 0)
-    out_ref[:, :, :] = jnp.clip(acc_ref[:, :, :], 0, 255).astype(jnp.uint8)
 
 
 @partial(
@@ -190,7 +196,7 @@ def extract_patches_pallas(
     present = onehot.sum(axis=1)  # [blocks, NH]
 
     t0_np, t1_np, w0_np, w1_np = _tap_tables(b, r)
-    kpad = -(-(r * r * 3) // 8) * 8
+    kc = 3 * r  # (j, ch)-major channel dim of the kernel output
 
     out = pl.pallas_call(
         partial(
@@ -215,13 +221,13 @@ def extract_patches_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (ROWS_PER_PROGRAM, kpad, wl), lambda i: (i, 0, 0),
+            (kc, r, ROWS_PER_PROGRAM, wl), lambda i: (0, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((gh_pad, kpad, wl), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((kc, r, gh_pad, wl), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((s, wins, s, wl), jnp.int32),
-            pltpu.VMEM((ROWS_PER_PROGRAM, kpad, wl), jnp.int32),
+            pltpu.VMEM((s, 3, r, ROWS_PER_PROGRAM, wl), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -235,6 +241,7 @@ def extract_patches_pallas(
         phased,
     )
 
-    # [gh_pad, K, WL] -> [gh, gw, R, R, 3]
-    out = out[:gh, : r * r * 3, :gw]
-    return jnp.transpose(out, (0, 2, 1)).reshape(gh, gw, r, r, 3)
+    # [KC(j,ch), R(i), gh_pad, WL] -> [gh, gw, R(i), R(j), 3(ch)]
+    out = out[:, :, :gh, :gw]
+    out = jnp.transpose(out, (2, 3, 1, 0))  # [gh, gw, i, (j,ch)]
+    return out.reshape(gh, gw, r, r, 3)

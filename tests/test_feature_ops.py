@@ -427,3 +427,45 @@ class TestNormalsGridPath:
         for s in (7, 8):
             grid = np.asarray(normal_angles_grid(jnp.asarray(pts), s))
             np.testing.assert_allclose(grid, full[::s, ::s], rtol=1e-5, atol=1e-6)
+
+
+class TestPatchesPallasParity:
+    """The Pallas block-local kernel (interpret mode on CPU) must be
+    bit-exact with the dense-slice scan across strides and edge shapes."""
+
+    def _compare(self, b, r, s, h, w, seed):
+        from rovinasemanticsegmentation_tpu.ops.patches_pallas import (
+            extract_patches_pallas,
+        )
+        from rovinasemanticsegmentation_tpu.ops.patches_scan import (
+            extract_patches_scan,
+        )
+
+        rng = np.random.default_rng(seed)
+        lab = rng.integers(0, 256, (h + 2 * b, w + 2 * b, 3), dtype=np.uint8)
+        gh, gw = -(-h // s), -(-w // s)
+        depth = rng.uniform(0.3, 8.0, (gh, gw)).astype(np.float32)
+        depth[rng.random((gh, gw)) < 0.15] = 0.0
+        got = np.asarray(
+            extract_patches_pallas(
+                jnp.asarray(lab), jnp.asarray(depth),
+                patch_size=b, reduce_size=r, stride=s, interpret=True,
+            )
+        )
+        want = np.asarray(
+            extract_patches_scan(
+                jnp.asarray(lab), jnp.asarray(depth),
+                patch_size=b, reduce_size=r, stride=s,
+            )
+        )
+        neq = (got != want) & (depth > 0)[:, :, None, None, None]
+        assert not neq.any()
+
+    def test_stride2(self):
+        self._compare(9, 5, 2, 32, 48, 0)
+
+    def test_stride1(self):
+        self._compare(7, 3, 1, 17, 33, 1)
+
+    def test_stride4_full_reduce(self):
+        self._compare(11, 11, 4, 24, 40, 2)
