@@ -299,13 +299,17 @@ def build_lattice_device(
     rank = jnp.where(high, rank - d1, rank)
     rem0 = jnp.where(high, rem0 - d1, rem0)
 
-    # Barycentric.
+    # Barycentric — scatter-free: slots take only d+2 values, so the
+    # per-row scatter-adds become d+2 masked sums (TPU scatters cost
+    # ~25 ns/row; these were 2 x N*(d+1)-row scatters).
     vbar = (elevated - rem0) * down
     slots = d - rank  # [N, d+1] in [0, d]
-    bary = jnp.zeros((n, d + 2), jnp.float32)
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, d1))
-    bary = bary.at[rows, slots].add(vbar)
-    bary = bary.at[rows, slots + 1].add(-vbar)
+    cols = []
+    for k in range(d + 2):
+        plus = jnp.sum(jnp.where(slots == k, vbar, 0.0), axis=1)
+        minus = jnp.sum(jnp.where(slots == k - 1, vbar, 0.0), axis=1)
+        cols.append(plus - minus)
+    bary = jnp.stack(cols, axis=1)  # [N, d+2]
     bary = bary.at[:, 0].add(1.0 + bary[:, d + 1])
     bary = bary[:, :d1]  # [N, d+1]
 
@@ -344,9 +348,10 @@ def build_lattice_device(
     m = vid_sorted[-1] + 1
 
     # offsets back in point order; clamp overflowed ids into the bucket so
-    # scatters stay in range (the caller rejects the build via m anyway).
+    # downstream indexing stays in range (the caller rejects the build via
+    # m anyway). The inverse permutation rides a key sort, not a scatter.
     vid_c = jnp.minimum(vid_sorted, m_bucket - 1)
-    offsets_flat = jnp.zeros(s, jnp.int32).at[pos_sorted].set(vid_c)
+    offsets_flat = jax.lax.sort((pos_sorted, vid_c), num_keys=1)[1]
     offsets_t = offsets_flat.reshape(n, d1).T  # [d+1, N]
     barycentric_t = bary.T
 
@@ -367,78 +372,82 @@ def build_lattice_device(
         jnp.where(nxt_new, vid_c, m_bucket - 1)
     ].max(jnp.where(nxt_new, idx_s + 1, 0), mode="drop")
 
-    # Unique keys ascending (+inf sentinel past m) for neighbor lookup.
+    # Unique keys/coords per vertex: gathers at the segment starts (each
+    # real vertex's start row holds its key), +inf sentinel past m so a
+    # padded slot can never win the neighbor merge below. These were nine
+    # more S-row scatters.
     big = jnp.int32(0x7FFFFFFF)
-    uq = [
-        jnp.full(m_bucket, big, jnp.int32).at[
-            jnp.where(is_new, vid_c, m_bucket - 1)
-        ].min(jnp.where(is_new, p, big), mode="drop")
-        for p in sp
-    ]
-    # Unique key coordinates per vertex (for neighbor-key construction).
-    # Coords are signed; shift by +2^15 during the max-scatter so every
-    # real value beats the zero init, then shift back.
-    ucoord = [
-        jnp.zeros(m_bucket, jnp.int32).at[
-            jnp.where(is_new, vid_c, m_bucket - 1)
-        ].max(
-            jnp.where(
-                is_new, jnp.take(kflat[:, i], pos_sorted) + (1 << 15), 0
-            ),
-            mode="drop",
-        )
-        - (1 << 15)
-        for i in range(d)
-    ]
-
-    def lookup(qcoords):  # list of d [Q] signed coord arrays
-        nq = qcoords[0].shape[0]
-        qp = []
-        for i in range(nk):
-            hi = qcoords[2 * i]
-            lo = (
-                qcoords[2 * i + 1]
-                if 2 * i + 1 < d
-                else jnp.zeros_like(hi) - (1 << 15)
-            )
-            qp.append(pack_pair(hi, lo))
-        lo_b = jnp.zeros(nq, jnp.int32)
-        hi_b = jnp.full(nq, m_bucket, jnp.int32)
-        for _ in range(int(np.ceil(np.log2(m_bucket))) + 1):
-            mid = (lo_b + hi_b) // 2
-            midc = jnp.minimum(mid, m_bucket - 1)
-            less = jnp.zeros(nq, bool)
-            eq = jnp.ones(nq, bool)
-            for i in range(nk):
-                u = jnp.take(uq[i], midc)
-                less = less | (eq & (u < qp[i]))
-                eq = eq & (u == qp[i])
-            go_right = less
-            lo_b = jnp.where(go_right, mid + 1, lo_b)
-            hi_b = jnp.where(go_right, hi_b, mid)
-        cand = jnp.minimum(lo_b, m_bucket - 1)
-        found = jnp.ones(nq, bool)
-        for i in range(nk):
-            found = found & (jnp.take(uq[i], cand) == qp[i])
-        found = found & (cand < m)
-        return jnp.where(found, cand, m_bucket)
-
     real = jnp.arange(m_bucket) < m  # padded vertices -> missing slot
+    uq = [jnp.where(real, jnp.take(p, seg_starts), big) for p in sp]
+    ksorted = jnp.take(kflat, pos_sorted, axis=0)  # [S, d] in sorted order
+    ucoord = [jnp.take(ksorted[:, i], seg_starts) for i in range(d)]
+
+    # Blur-neighbor resolution: ONE sort-merge for ALL 2*(d+1) query sets.
+    # A per-set binary search (16 dependent gather rounds x 14 sets = 224
+    # serialized rounds) cost ~150-200 ms/build on TPU — each tiny-vector
+    # gather round is latency-bound. Sorts of a few hundred k rows are
+    # cheap (measured), so: concatenate the unique keys (tag 0) with every
+    # query key (tag 1), sort once; in ascending order each query's
+    # predecessor-unique is found with a cummax over unique positions, and
+    # a key-equality check decides hit vs missing slot.
+    nq_sets = 2 * d1
+    qpacked = []  # per set: nk packed key components
+    for j in range(d1):
+        for sign in (1, -1):
+            qc = []
+            for i in range(d):
+                base = ucoord[i]
+                if j < d and i == j:
+                    qc.append(base + (d if sign > 0 else -d))
+                else:
+                    qc.append(base + (-1 if sign > 0 else 1))
+            packs_q = []
+            for i in range(nk):
+                hi = qc[2 * i]
+                lo = (
+                    qc[2 * i + 1]
+                    if 2 * i + 1 < d
+                    else jnp.zeros_like(hi) - (1 << 15)
+                )
+                packs_q.append(pack_pair(hi, lo))
+            qpacked.append(packs_q)
+    keys_cat = [
+        jnp.concatenate([uq[i]] + [qp[i] for qp in qpacked])
+        for i in range(nk)
+    ]
+    slot_ids = jnp.arange(m_bucket, dtype=jnp.int32)
+    tag = jnp.concatenate(
+        [jnp.zeros(m_bucket, jnp.int32)]
+        + [jnp.ones(m_bucket, jnp.int32)] * nq_sets
+    )
+    payload = jnp.concatenate(
+        [slot_ids]
+        + [slot_ids + (k + 1) * m_bucket for k in range(nq_sets)]
+    )
+    sorted_cat = jax.lax.sort(
+        tuple(keys_cat) + (tag, payload), num_keys=nk + 1
+    )
+    stag = sorted_cat[nk]
+    spay = sorted_cat[nk + 1]
+    t_rows = stag.shape[0]
+    iota_t = jnp.arange(t_rows, dtype=jnp.int32)
+    last_u = jax.lax.cummax(jnp.where(stag == 0, iota_t, -1))
+    lu = jnp.maximum(last_u, 0)
+    match = last_u >= 0
+    for i in range(nk):
+        match = match & (jnp.take(sorted_cat[i], lu) == sorted_cat[i])
+    vmatch = jnp.take(spay, lu)  # unique rows carry their vertex id
+    match = match & (vmatch < m)
+    result = jnp.where(match, vmatch, m_bucket)
+    # Route results back to (set, slot) order by sorting on the payload.
+    back = jax.lax.sort((spay, result), num_keys=1)[1]
     blur_n1 = []
     blur_n2 = []
     for j in range(d1):
-        q1 = []
-        q2 = []
-        for i in range(d):
-            base = ucoord[i]
-            if j < d and i == j:
-                q1.append(base + d)
-                q2.append(base - d)
-            else:
-                q1.append(base - 1)
-                q2.append(base + 1)
-        blur_n1.append(jnp.where(real, lookup(q1), m_bucket))
-        blur_n2.append(jnp.where(real, lookup(q2), m_bucket))
+        b1 = back[(2 * j + 1) * m_bucket : (2 * j + 2) * m_bucket]
+        b2 = back[(2 * j + 2) * m_bucket : (2 * j + 3) * m_bucket]
+        blur_n1.append(jnp.where(real, b1, m_bucket))
+        blur_n2.append(jnp.where(real, b2, m_bucket))
     blur_n1 = jnp.stack(blur_n1)
     blur_n2 = jnp.stack(blur_n2)
 

@@ -200,6 +200,77 @@ def _fuse_nodes(
     return fused
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "num_points", "blocks", "m_bucket",
+        "n_iterations", "unknown_labels", "min_distance", "max_distance",
+        "xyz_kernel", "rgb_kernel", "kernel_weight",
+    ),
+)
+def _map_fused(
+    points: jnp.ndarray,  # [N, 3] (device-resident in serving loops)
+    cloud_rgb: jnp.ndarray,  # [N, 3] in [0, 1]
+    pose_packed: jnp.ndarray,  # [K, C3, 3, 4] = rot_inv | t_inv
+    intrinsics: jnp.ndarray,  # [C3, 3, 3]
+    posteriors,  # pytree: tuple(K) of tuple(C3) of tuple(L) of [H, W, C_l]
+    *,
+    height: int,
+    width: int,
+    num_points: int,
+    blocks: Tuple[int, ...],
+    m_bucket: int,
+    n_iterations: int,
+    unknown_labels: Tuple[int, ...],
+    min_distance: float,
+    max_distance: float,
+    xyz_kernel: float,
+    rgb_kernel: float,
+    kernel_weight: float,
+):
+    """The WHOLE map path as ONE dispatch: node fusion + on-device lattice
+    build + fused multi-layer CRF (segmenter.cpp:518-719 end to end).
+
+    The split path (fuse_unaries -> build_lattice_device -> crf) costs
+    ~6-7 host round trips per map (3 executes + feats/cloud/pose uploads);
+    through a high-latency host link each round trip stalls the link that
+    the keyframe worker also needs, serializing the two workers the
+    reference runs concurrently (measured: frame path 26.9 -> 75.6 ms/kf
+    when interleaved with split-path maps). Steady state here is one pose
+    upload + one execute. Used once the vertex bucket is validated for the
+    cloud size; the first map of a size takes the split path, which syncs
+    the real vertex count and grows the bucket (label_map)."""
+    rot_inv = pose_packed[..., :3]
+    t_inv = pose_packed[..., 3]
+    fused = _fuse_nodes(
+        points, rot_inv, t_inv, intrinsics,
+        jnp.float32(min_distance), jnp.float32(max_distance),
+        posteriors, height=height, width=width, num_points=num_points,
+    )
+    from ..models.lattice import build_lattice_device
+
+    feats = jnp.concatenate(
+        [points * jnp.float32(xyz_kernel), cloud_rgb * jnp.float32(rgb_kernel)],
+        axis=1,
+    )
+    built = build_lattice_device(feats, m_bucket=m_bucket)
+    m = built[-1]
+    labels = _crf_labels_multi(
+        fused, *built[:8], jnp.float32(kernel_weight),
+        blocks, m_bucket, n_iterations, unknown_labels, m > m_bucket,
+    )
+    return labels, m
+
+
+@partial(jax.jit, static_argnames=("xyz_kernel", "rgb_kernel"))
+def _crf_feats(points, rgb, xyz_kernel, rgb_kernel):
+    """CRF pairwise features [xyz*0.5 ; rgb*4.0] (segmenter.cpp:629-637)."""
+    return jnp.concatenate(
+        [points * jnp.float32(xyz_kernel), rgb * jnp.float32(rgb_kernel)],
+        axis=1,
+    )
+
+
 @partial(jax.jit, static_argnames=("unknown_label",))
 def _plain_labels(unaries: jnp.ndarray, unknown_label: int) -> jnp.ndarray:
     """Argmax with -1000 floor; all-zero rows -> Unknown (segmenter.cpp:659-682)."""
@@ -230,6 +301,11 @@ class LocalMapPipeline:
         self._m_checked = set()  # cloud sizes whose bucket was validated
         self._pending_m = []  # (bucket, device vertex-count) to drain async
         self._zero_layers = None  # device zero posteriors, built lazily
+        self._pose_cache = None  # (bytes, device array) of the last pose set
+        self.fused_dispatch = True  # steady-state maps as ONE dispatch
+        # Stage per-pipeline constants once: re-uploading them per map costs
+        # a fixed-latency host link round trip each.
+        self._intr_dev = jnp.asarray(projector.intrinsics)
 
     # ------------------------------------------------------------------
     def fuse_unaries(
@@ -247,11 +323,11 @@ class LocalMapPipeline:
         """
         n = cloud_points.shape[0]
         proj = self.projector
-        rot, t, posts = self._prep_nodes(nodes)
+        rot, t, posts, _ = self._prep_nodes(nodes)
         fused = _fuse_nodes(
             jnp.asarray(cloud_points, jnp.float32),
             rot, t,
-            jnp.asarray(proj.intrinsics),
+            self._intr_dev,
             jnp.float32(proj.min_distance),
             jnp.float32(proj.max_distance),
             posts,
@@ -313,10 +389,24 @@ class LocalMapPipeline:
                     cams.append(tuple(jnp.asarray(p) for p in layers))
             post_all.append(tuple(cams))
 
+        # ONE packed upload (rot | t): every host->device transfer pays the
+        # link's fixed latency, and these ride the map path's hot loop.
+        # Identical pose sets (common when the mapper republishes a map, and
+        # in benches) reuse the staged device array instead of re-uploading.
+        packed = np.concatenate(
+            [np.stack(rot_all), np.stack(t_all)[..., None]], axis=-1
+        ).astype(np.float32)  # [K, C3, 3, 4]
+        key = packed.tobytes()
+        if self._pose_cache is not None and self._pose_cache[0] == key:
+            packed_dev = self._pose_cache[1]
+        else:
+            packed_dev = jnp.asarray(packed)
+            self._pose_cache = (key, packed_dev)
         return (
-            jnp.asarray(np.stack(rot_all).astype(np.float32)),
-            jnp.asarray(np.stack(t_all).astype(np.float32)),
+            packed_dev[..., :3],
+            packed_dev[..., 3],
             tuple(post_all),
+            packed_dev,
         )
 
     def _drain_overflow_flags(self) -> None:
@@ -360,13 +450,6 @@ class LocalMapPipeline:
         if self.crf.use_dense_crf:
             if cloud_rgb is None:
                 raise ValueError("dense CRF smoothing needs cloud RGB")
-            feats = np.concatenate(
-                [
-                    np.asarray(cloud_points, np.float32) * self.crf.xyz_kernel,
-                    np.asarray(cloud_rgb, np.float32) * self.crf.rgb_kernel,
-                ],
-                axis=1,
-            )  # [N, 6] (segmenter.cpp:629-637)
             if self.use_device_lattice:
                 # ON-DEVICE lattice build: only the [N, 6] features cross
                 # the host link (~0.7 MB) instead of the built lattice
@@ -375,8 +458,15 @@ class LocalMapPipeline:
                 from ..models.lattice import build_lattice_device
 
                 self._drain_overflow_flags()
-                feats_dev = jnp.asarray(feats)
-                n_pts = int(feats.shape[0])
+                # Features on device ([N,6], segmenter.cpp:629-637): device
+                # clouds never round-trip through the host.
+                feats_dev = _crf_feats(
+                    jnp.asarray(cloud_points, jnp.float32),
+                    jnp.asarray(cloud_rgb, jnp.float32),
+                    float(self.crf.xyz_kernel),
+                    float(self.crf.rgb_kernel),
+                )
+                n_pts = int(cloud_points.shape[0])
                 built = build_lattice_device(
                     feats_dev, m_bucket=self._m_bucket
                 )
@@ -406,6 +496,15 @@ class LocalMapPipeline:
             else:
                 # Host build (native hash-table) + upload; kept for hosts
                 # where the transfer link is fast and CPU cycles are free.
+                feats = np.concatenate(
+                    [
+                        np.asarray(cloud_points, np.float32)
+                        * self.crf.xyz_kernel,
+                        np.asarray(cloud_rgb, np.float32)
+                        * self.crf.rgb_kernel,
+                    ],
+                    axis=1,
+                )  # [N, 6] (segmenter.cpp:629-637)
                 lattice = attach_sorted_stream(
                     pad_lattice(build_lattice(feats))
                 )
@@ -472,7 +571,44 @@ class LocalMapPipeline:
         """Like :func:`run` but returns per-layer label arrays ON DEVICE
         without synchronizing — the serving analogue of the reference's
         map-fusion worker thread (segmenter.cpp:518), letting callers
-        overlap map smoothing with subsequent keyframe work."""
+        overlap map smoothing with subsequent keyframe work.
+
+        Steady state (vertex bucket already validated for this cloud size)
+        runs the WHOLE map as one dispatch (:func:`_map_fused`); the first
+        map of a size takes the split path, which syncs and validates the
+        bucket."""
+        n = int(cloud_points.shape[0])
+        if (
+            self.fused_dispatch
+            and self.crf.use_dense_crf
+            and self.use_device_lattice
+            and cloud_rgb is not None
+            and n in self._m_checked
+        ):
+            self._drain_overflow_flags()
+            proj = self.projector
+            _, _, posts, pose_packed = self._prep_nodes(nodes)
+            labels, m = _map_fused(
+                jnp.asarray(cloud_points, jnp.float32),
+                jnp.asarray(cloud_rgb, jnp.float32),
+                pose_packed,
+                self._intr_dev,
+                posts,
+                height=proj.height,
+                width=proj.width,
+                num_points=n,
+                blocks=tuple(self.class_counts),
+                m_bucket=self._m_bucket,
+                n_iterations=self.crf.iterations,
+                unknown_labels=tuple(self.unknown_labels),
+                min_distance=float(proj.min_distance),
+                max_distance=float(proj.max_distance),
+                xyz_kernel=float(self.crf.xyz_kernel),
+                rgb_kernel=float(self.crf.rgb_kernel),
+                kernel_weight=float(self.crf.kernel_weight),
+            )
+            self._pending_m.append((self._m_bucket, m))
+            return list(labels)
         unaries = self.fuse_unaries(cloud_points, nodes)
         return self.label_map(
             cloud_points, cloud_rgb, unaries, as_numpy=False

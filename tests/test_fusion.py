@@ -371,3 +371,39 @@ class TestFusedLayers:
             )
         ).T
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+class TestFusedMapDispatch:
+    @pytest.mark.slow
+    def test_fused_steady_state_matches_split_path(self):
+        """run_device's single-dispatch steady state (_map_fused) must
+        produce exactly the split path's labels: the first map of a cloud
+        size takes the split (bucket-validating) path, later ones the fused
+        path; identical inputs through both must agree bit-for-bit."""
+        rng = np.random.default_rng(5)
+        proj = simple_projector()
+        h, w, n = proj.height, proj.width, 60
+        pts = np.stack(
+            [
+                rng.uniform(-0.4, 0.4, n),
+                rng.uniform(-0.3, 0.3, n),
+                rng.uniform(1.5, 2.5, n),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        posts = [
+            [[rng.uniform(0, 2, (h, w, 3)).astype(np.float32),
+              rng.uniform(0, 2, (h, w, 4)).astype(np.float32)]]
+            for _ in range(2)
+        ]
+        nodes = [MapNodeFrames(pose=np.eye(4), posteriors=p) for p in posts]
+        pipeline = LocalMapPipeline(
+            proj, class_counts=[3, 4], unknown_labels=[2, 3],
+            crf=CrfParams(use_dense_crf=True, iterations=3),
+        )
+        first = [np.asarray(l) for l in pipeline.run_device(pts, rgb, nodes)]
+        assert n in pipeline._m_checked  # split path validated the bucket
+        second = [np.asarray(l) for l in pipeline.run_device(pts, rgb, nodes)]
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(a, b)
