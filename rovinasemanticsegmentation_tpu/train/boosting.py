@@ -97,6 +97,7 @@ class BoostedForestTrainer:
             num_features=self.config.num_features,
             use_bootstrap=False,  # resampling happens here
             smoothing=self.config.smoothing,
+            device_growth=self.config.device_growth,
         )
         x_dev = jnp.asarray(features.astype(np.float32))
 

@@ -70,6 +70,12 @@ class TrainerConfig:
     # prints "not supported in the multi class case" (learning.cpp:498) and
     # proceeds unweighted; train.cpp:232 disables it for ROVINA.
     use_class_frequency: bool = False
+    # Grow each tree in ONE device dispatch (grow_tree_device: level loop,
+    # rng, and node tables all on device) instead of one dispatch + one
+    # sync per level. Same algorithm and stop rules; the rng stream
+    # differs, so individual trees differ between the two modes while both
+    # stay seed-deterministic.
+    device_growth: bool = True
 
     @classmethod
     def from_config(cls, conf: Config, seed: int = 0) -> "TrainerConfig":
@@ -258,11 +264,7 @@ def multi_slot_split_search(
     return outs  # each [K, F]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("num_segments", "num_classes", "num_layers"),
-)
-def fused_level_step(
+def _level_core(
     x: jnp.ndarray,  # [Ns, D]
     labels: jnp.ndarray,  # [Ns, L]
     node_of: jnp.ndarray,  # [Ns] tree-node id per example
@@ -278,8 +280,8 @@ def fused_level_step(
     num_classes: int,
     num_layers: int,
 ):
-    """The ENTIRE level in ONE dispatch: slot mapping, node stats, stop
-    checks (learning.cpp:521-531), the K-slot split search, best-slot
+    """The ENTIRE level as one traceable block: slot mapping, node stats,
+    stop checks (learning.cpp:521-531), the K-slot split search, best-slot
     selection, child-id allocation, and the example partition.
 
     Profiling showed the ~15 small per-level host<->device transfers cost
@@ -289,8 +291,9 @@ def fused_level_step(
     consecutive ids [base, base + F), so the slot of an example is
     ``node_of - base``, and a host-parity child allocation is
     ``table_len + 2 * exclusive_cumsum(splitting)`` (the host applies
-    splits in ascending slot order). Returns (packed [3, F] host info:
-    splitting/feature/threshold, new node_of — which STAYS on device).
+    splits in ascending slot order). Returns (splitting [F], best_feat [F],
+    best_thr [F], new node_of). Called per level by the host-driven
+    :func:`fused_level_step` and in-loop by :func:`grow_tree_device`.
     """
     # Slot per example; ids below base are settled leaves from earlier
     # levels, anything outside [0, F) parks at the inactive slot F.
@@ -349,15 +352,145 @@ def fused_level_step(
     node_new = jnp.where(
         sp_e, left_e + (xv >= thr_e).astype(jnp.int32), node_of
     )
+    return splitting, best_feat, best_thr, node_new
 
+
+@partial(
+    jax.jit,
+    static_argnames=("num_segments", "num_classes", "num_layers"),
+)
+def fused_level_step(
+    x, labels, node_of, base, table_len, feats, layers, depth_ok,
+    min_split, min_child, class_weights,
+    num_segments: int, num_classes: int, num_layers: int,
+):
+    """One level as one dispatch (see :func:`_level_core`); returns
+    (packed [3, F]: splitting/feature/threshold — the level's ONLY
+    download — and the new node_of, which STAYS on device)."""
+    splitting, best_feat, best_thr, node_new = _level_core(
+        x, labels, node_of, base, table_len, feats, layers, depth_ok,
+        min_split, min_child, class_weights,
+        num_segments, num_classes, num_layers,
+    )
     packed = jnp.stack(
         [
             splitting.astype(jnp.float32),
             best_feat.astype(jnp.float32),
             best_thr,
         ]
-    )  # [3, F] — the level's ONLY download
+    )  # [3, F]
     return packed, node_new
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "f_pad", "cap", "max_depth", "k", "num_classes", "num_layers",
+    ),
+)
+def grow_tree_device(
+    x: jnp.ndarray,  # [Ns, D]
+    labels: jnp.ndarray,  # [Ns, L] int32
+    seed: jnp.ndarray,  # scalar uint32: device rng stream for this tree
+    min_split: jnp.ndarray,
+    min_child: jnp.ndarray,
+    class_weights: jnp.ndarray,  # [C]
+    f_pad: int,  # frontier capacity (static)
+    cap: int,  # node-table capacity (static)
+    max_depth: int,
+    k: int,  # features sampled per node
+    num_classes: int,
+    num_layers: int,
+):
+    """Grow the WHOLE tree in ONE dispatch: a ``while_loop`` over levels
+    around :func:`_level_core`, with per-level rng (layer choice +
+    k-of-D feature subsets) drawn ON DEVICE and the node tables
+    (split_feature/threshold/left_child/depth) maintained on device.
+
+    The host-driven level loop costs one sync + one dispatch per level —
+    ~0.2-0.3 s each through a high-latency host link, ~10-15 s of pure
+    latency for a 25-level tree (the C++ reference's whole 8-thread train
+    is 12.8 s, learning.cpp:1046). Here the host uploads the bootstrap
+    sample and downloads the finished tables: two round trips per tree.
+
+    RNG: per level, ``fold_in(key, depth)``; layers ~ randint, feature
+    subsets = top-k of per-slot uniforms (a uniformly random k-subset,
+    exactly DecisionTreeLearner's sampling-without-replacement semantics,
+    learning.cpp:543-546, in a fixed-shape formulation). The stream
+    differs from the host path's numpy draws, so host- and device-grown
+    trees differ individually while matching statistically; both are
+    seed-deterministic.
+
+    Returns (split_feature [cap], threshold [cap], left_child [cap],
+    node_depth [cap], table_len, f_count, depth). ``f_count > 0`` on exit
+    means the static buckets overflowed (frontier > f_pad or table > cap)
+    and the caller must retry with bigger buckets — growth is
+    deterministic, so a restart reproduces the identical prefix.
+    """
+    ns, d = x.shape
+    key = jax.random.PRNGKey(seed)
+
+    def cond(state):
+        _, _, _, _, _, nn, _, f_count, depth = state
+        # depth > max_depth needs no pass: depth_ok would block every
+        # split, and the pending frontier's records are already zeroed
+        # leaves from their allocation.
+        return (
+            (f_count > 0)
+            & (f_count <= f_pad)
+            & (nn + 2 * f_count <= cap)
+            & (depth <= max_depth)
+        )
+
+    def body(state):
+        node_of, sf, th, lc, dep, nn, base, f_count, depth = state
+        k_lay, k_feat = jax.random.split(jax.random.fold_in(key, depth))
+        layers = jax.random.randint(
+            k_lay, (f_pad,), 0, num_layers, dtype=jnp.int32
+        )
+        # k-of-d without replacement per slot: indices of the k largest
+        # uniforms (a uniformly random subset in random order).
+        pri = jax.random.uniform(k_feat, (f_pad, d))
+        _, feats = jax.lax.top_k(pri, k)  # [f_pad, k] i32
+        splitting, best_feat, best_thr, node_of = _level_core(
+            x, labels, node_of, base, nn,
+            feats.astype(jnp.int32), layers, depth <= max_depth,
+            min_split, min_child, class_weights,
+            f_pad, num_classes, num_layers,
+        )
+        sp_i = splitting.astype(jnp.int32)
+        splits = jnp.sum(sp_i)
+        left_ids = nn + 2 * (jnp.cumsum(sp_i) - sp_i)
+        # Write the splitting slots' records (non-splitting slots keep the
+        # zeroed leaf records their allocation created).
+        ids = base + jnp.arange(f_pad, dtype=jnp.int32)
+        ids_w = jnp.where(splitting, ids, cap)
+        sf = sf.at[ids_w].set(best_feat, mode="drop")
+        th = th.at[ids_w].set(best_thr, mode="drop")
+        lc = lc.at[ids_w].set(left_ids, mode="drop")
+        # Children [nn, nn + 2*splits) are depth+1.
+        cids = nn + jnp.arange(2 * f_pad, dtype=jnp.int32)
+        cids = jnp.where(jnp.arange(2 * f_pad) < 2 * splits, cids, cap)
+        dep = dep.at[cids].set(depth + 1, mode="drop")
+        return (
+            node_of, sf, th, lc, dep,
+            nn + 2 * splits, nn, 2 * splits, depth + 1,
+        )
+
+    state = (
+        jnp.zeros((ns,), jnp.int32),  # node_of
+        jnp.zeros((cap,), jnp.int32),  # split_feature
+        jnp.zeros((cap,), jnp.float32),  # threshold
+        jnp.zeros((cap,), jnp.int32),  # left_child
+        jnp.zeros((cap,), jnp.int32),  # node depth
+        jnp.int32(1),  # table_len (root exists)
+        jnp.int32(0),  # base
+        jnp.int32(1),  # f_count
+        jnp.int32(0),  # depth
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    _, sf, th, lc, dep, nn, _, f_count, depth = state
+    return sf, th, lc, dep, nn, f_count, depth
 
 
 @partial(jax.jit, static_argnames=("num_segments", "num_classes", "num_layers"))
@@ -425,6 +558,79 @@ def node_stats_step(
 # ======================================================================
 # Tree growth (host-driven levels, device-batched steps)
 # ======================================================================
+
+
+class _DeviceTreeResult:
+    """Builder-compatible view over device-grown node tables."""
+
+    def __init__(self, sf, th, lc, dep, nn: int):
+        self.split_feature = np.asarray(sf[:nn], np.int32)
+        self.threshold = np.asarray(th[:nn], np.float32)
+        self.left_child = np.asarray(lc[:nn], np.int32)
+        self.depth = np.asarray(dep[:nn], np.int32)
+
+
+def _grow_tree_on_device(
+    x: jnp.ndarray,  # [Ns, D] device-resident bootstrap sample
+    y: np.ndarray,  # [Ns, L]
+    cfg: "TrainerConfig",
+    rng: np.random.Generator,
+    num_classes: int,
+) -> _DeviceTreeResult:
+    """Drive :func:`grow_tree_device`: two host<->device round trips per
+    tree in the common case (upload sample implicit, download tables),
+    retrying with 4x buckets on the rare frontier/table overflow (growth
+    is seed-deterministic, so a retry reproduces the same tree)."""
+    ns, d = x.shape
+    num_layers = y.shape[1]
+    k = cfg.num_features or int(math.ceil(math.sqrt(d)))
+    y_dev = jnp.asarray(y.astype(np.int32))
+    class_weights = np.ones(num_classes, np.float32)
+    if cfg.use_class_frequency:
+        if num_layers > 1:
+            log.warning(
+                "class frequency weighting is not supported in the "
+                "multi-label case (libforest parity); proceeding unweighted"
+            )
+        else:
+            counts = np.bincount(
+                y[:, 0].astype(np.int64), minlength=num_classes
+            ).astype(np.float32)
+            class_weights = np.where(
+                counts > 0, ns / np.maximum(counts, 1), 1.0
+            )
+    seed = np.uint32(rng.integers(0, 2**32, dtype=np.uint64))
+
+    # Bucket sizing: every level's splitting nodes hold >= min_split
+    # examples and partition <= ns of them, so the frontier never exceeds
+    # 2 * ns / min_split; total nodes <= 2 * leaves <= 4 * ns / min_child
+    # is loose, so cap starts at a pow2 estimate and grows on overflow.
+    def pow2(v):
+        return 1 << max(0, int(v - 1).bit_length())
+
+    f_pad = min(pow2(2 * ns // max(cfg.min_split_examples, 1) + 1), pow2(ns))
+    f_pad = max(64, min(f_pad, 1 << (cfg.max_depth + 1).bit_length()))
+    cap = max(256, min(pow2(2 * ns), pow2(4 * (2 ** min(cfg.max_depth, 26)))))
+    cap = min(cap, pow2(16 * ns))
+
+    while True:
+        sf, th, lc, dep, nn, f_count, _ = grow_tree_device(
+            x, y_dev, jnp.uint32(seed),
+            jnp.float32(cfg.min_split_examples),
+            jnp.float32(cfg.min_child_split_examples),
+            jnp.asarray(class_weights),
+            f_pad=f_pad, cap=cap, max_depth=cfg.max_depth, k=k,
+            num_classes=num_classes, num_layers=num_layers,
+        )
+        nn_i = int(nn)
+        fc = int(f_count)
+        if fc > f_pad:
+            f_pad *= 4
+            continue
+        if nn_i + 2 * fc > cap:
+            cap *= 4
+            continue
+        return _DeviceTreeResult(sf, th, lc, dep, nn_i)
 
 
 class _TreeBuilder:
@@ -653,7 +859,10 @@ class ForestTrainer:
                 yb = labels[idx]
             else:
                 xb, yb = x_full, labels
-            builder = _grow_tree(xb, yb, cfg, rng, c_max)
+            if cfg.device_growth:
+                builder = _grow_tree_on_device(xb, yb, cfg, rng, c_max)
+            else:
+                builder = _grow_tree(xb, yb, cfg, rng, c_max)
 
             # Leaf refit on the full dataset per layer (:963-1012).
             nn = len(builder.split_feature)
