@@ -129,15 +129,36 @@ def main() -> None:
         (rng.integers(0, 256, (h, w, 3), dtype=np.uint8), make_depth(rng))
         for _ in range(N_KEYFRAMES)
     ]
-    cloud_pts = np.stack(
-        [
-            rng.uniform(-4, 4, MAP_POINTS),
-            rng.uniform(-3, 3, MAP_POINTS),
-            rng.uniform(1, 10, MAP_POINTS),
-        ],
-        axis=1,
-    ).astype(np.float32)
-    cloud_rgb = rng.uniform(0, 1, (MAP_POINTS, 3)).astype(np.float32)
+    # The map cloud is BACKPROJECTED KEYFRAME SURFACES, like the local maps
+    # the reference's mapper hands to fuseCloudWithNodes (segmenter.cpp:
+    # 518-560): points lie on the depth frames' piecewise-smooth surfaces.
+    # A uniform-random box cloud is an adversarial worst case for the
+    # permutohedral lattice — at xyz_kernel 0.5 nearly every splat lands on
+    # a unique simplex vertex (M ~ 7N), where surface clouds share vertices
+    # (M << N) — just as white-noise depth was for the patch windows.
+    def make_cloud(r):
+        fx, fy, cx, cy = 525.0, 525.0, w / 2, h / 2
+        pts, cols = [], []
+        per_frame = MAP_POINTS // MAP_EVERY
+        for f in range(MAP_EVERY):
+            d = frames[f][1].astype(np.float32) / 1000.0
+            ys = r.integers(0, h, per_frame)
+            xs = r.integers(0, w, per_frame)
+            z = d[ys, xs]
+            z = np.where(z > 0, z, 2.0)
+            pts.append(
+                np.stack(
+                    [(xs - cx) / fx * z, (ys - cy) / fy * z, z], axis=1
+                )
+                + np.array([0.05, 0.02, 0.0]) * f  # per-keyframe pose drift
+            )
+            cols.append(frames[f][0][ys, xs].astype(np.float32) / 255.0)
+        return (
+            np.concatenate(pts).astype(np.float32),
+            np.concatenate(cols).astype(np.float32),
+        )
+
+    cloud_pts, cloud_rgb = make_cloud(rng)
 
     # Stage the keyframe stream ON DEVICE before the timed region. This
     # benchmark measures the CHIP's end-to-end keyframes/sec; the dev

@@ -165,6 +165,16 @@ def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return jnp.where(bad, jnp.nan, out)
 
 
+def _shift_c(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """:func:`_shift` for channel-LEADING [C, H, W] stacks."""
+    out = jnp.roll(a, shift=(dy, dx), axis=(1, 2))
+    h, w = a.shape[1], a.shape[2]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    bad = (ys - dy < 0) | (ys - dy >= h) | (xs - dx < 0) | (xs - dx >= w)
+    return jnp.where(bad[None], jnp.nan, out)
+
+
 def _masked_integral(a: jnp.ndarray) -> jnp.ndarray:
     """Zero-padded 2D inclusive prefix sums with a leading zero row/col."""
     s = jnp.cumsum(jnp.cumsum(a, axis=0), axis=1)
@@ -252,14 +262,6 @@ def _normal_angles_impl(
 
     distance = chamfer_distance_map(change, saturation=normal_smoothing_size)
 
-    # --- central-difference 3D gradients (PCL keeps sums unscaled).
-    grad_x = _shift(points, 0, -1) - _shift(points, 0, 1)
-    grad_y = _shift(points, -1, 0) - _shift(points, 1, 0)
-    gx_valid = ~jnp.isnan(grad_x[..., 0])
-    gy_valid = ~jnp.isnan(grad_y[..., 0])
-    grad_x = jnp.nan_to_num(grad_x)
-    grad_y = jnp.nan_to_num(grad_y)
-
     border = int(normal_smoothing_size)
     rect_max = int(normal_smoothing_size)  # rects take values 2..rect_max
     rmax = rect_max // 2
@@ -272,17 +274,26 @@ def _normal_angles_impl(
         smoothing = jnp.minimum(distance_g, normal_smoothing_size)
         rect = smoothing.astype(jnp.int32)  # int() truncation
 
-        # One 8-channel stack: grad_x (3), grad_y (3), count_x, count_y.
+        # One CHANNEL-LEADING 8-stack [8, h, w]: grad_x (3), grad_y (3),
+        # count_x, count_y. Channels-trailing [h, w, 8] put the 8 channels
+        # on the 128 lanes (and rows on sublanes), wasting 120 lanes on
+        # every cumsum/select; channels-leading keeps w on lanes.
+        pts_t = jnp.moveaxis(points, -1, 0)  # [3, h, w]
+        gx_t = _shift_c(pts_t, 0, -1) - _shift_c(pts_t, 0, 1)
+        gy_t = _shift_c(pts_t, -1, 0) - _shift_c(pts_t, 1, 0)
+        gx_valid = ~jnp.isnan(gx_t[0])
+        gy_valid = ~jnp.isnan(gy_t[0])
         stack = jnp.concatenate(
             [
-                grad_x,
-                grad_y,
-                gx_valid[..., None].astype(jnp.float32),
-                gy_valid[..., None].astype(jnp.float32),
+                jnp.nan_to_num(gx_t),
+                jnp.nan_to_num(gy_t),
+                gx_valid[None].astype(jnp.float32),
+                gy_valid[None].astype(jnp.float32),
             ],
-            axis=-1,
+            axis=0,
         )
-        integ = _masked_integral(stack)  # [h+1, w+1, 8]
+        integ = jnp.cumsum(jnp.cumsum(stack, axis=1), axis=2)
+        integ = jnp.pad(integ, [(0, 0), (1, 0), (1, 0)])  # [8, h+1, w+1]
         # Pad so every phase sub-image holds the full [offset + gh/gw]
         # extent (edge replication keeps clamp semantics; out-of-image rows
         # are never selected: the border frame is masked below).
@@ -290,19 +301,23 @@ def _normal_angles_impl(
         back_y = max(rmax + 1, (off + gh) * s - (h + 1) - rmax)
         back_x = max(rmax + 1, (off + gw) * s - (w + 1) - rmax)
         ip = jnp.pad(
-            integ, [(rmax, back_y), (rmax, back_x), (0, 0)], mode="edge"
+            integ, [(0, 0), (rmax, back_y), (rmax, back_x)], mode="edge"
         )
         # Split into s*s phase sub-images once; every corner read below is
         # then a contiguous dynamic_slice (lane-strided slices per corner
         # cost a relayout per element and were 8x slower at stride 2).
-        phases = [[ip[py::s, px::s] for px in range(s)] for py in range(s)]
+        phases = [
+            [ip[:, py::s, px::s] for px in range(s)] for py in range(s)
+        ]
 
         def corner(dy, dx):
             g0, g1 = rmax + dy, rmax + dx
             ph = phases[g0 % s][g1 % s]
-            return jax.lax.dynamic_slice(ph, (g0 // s, g1 // s, 0), (gh, gw, 8))
+            return jax.lax.dynamic_slice(
+                ph, (0, g0 // s, g1 // s), (8, gh, gw)
+            )
 
-        acc = jnp.zeros((gh, gw, 8), jnp.float32)
+        acc = jnp.zeros((8, gh, gw), jnp.float32)
         for r in range(2, rect_max + 1):
             # Window [pos - r//2, pos - r//2 + r) inclusive-exclusive.
             d0 = -(r // 2)
@@ -313,13 +328,21 @@ def _normal_angles_impl(
                 - corner(d1, d0)
                 + corner(d0, d0)
             )
-            acc = jnp.where((rect == r)[..., None], box, acc)
-        sum_gx, sum_gy = acc[..., 0:3], acc[..., 3:6]
-        cnt_x, cnt_y = acc[..., 6], acc[..., 7]
+            acc = jnp.where((rect == r)[None], box, acc)
+        sum_gx = jnp.moveaxis(acc[0:3], 0, -1)  # [gh, gw, 3]
+        sum_gy = jnp.moveaxis(acc[3:6], 0, -1)
+        cnt_x, cnt_y = acc[6], acc[7]
         invalid = invalid_g
         ys_g = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0) * s
         xs_g = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) * s
     else:
+        # --- central-difference 3D gradients (PCL keeps sums unscaled).
+        grad_x = _shift(points, 0, -1) - _shift(points, 0, 1)
+        grad_y = _shift(points, -1, 0) - _shift(points, 1, 0)
+        gx_valid = ~jnp.isnan(grad_x[..., 0])
+        gy_valid = ~jnp.isnan(grad_y[..., 0])
+        grad_x = jnp.nan_to_num(grad_x)
+        grad_y = jnp.nan_to_num(grad_y)
         ix = _masked_integral(grad_x)
         iy = _masked_integral(grad_y)
         icx = _masked_integral(gx_valid.astype(jnp.float32))
