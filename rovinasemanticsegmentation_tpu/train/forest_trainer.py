@@ -422,10 +422,13 @@ def grow_tree_device(
     seed-deterministic.
 
     Returns (split_feature [cap], threshold [cap], left_child [cap],
-    node_depth [cap], table_len, f_count, depth). ``f_count > 0`` on exit
-    means the static buckets overflowed (frontier > f_pad or table > cap)
-    and the caller must retry with bigger buckets — growth is
-    deterministic, so a restart reproduces the identical prefix.
+    node_depth [cap], table_len, f_count, depth). ``f_count > f_pad`` or
+    ``table_len + 2 * f_count > cap`` on exit means the static buckets
+    overflowed and the caller must retry with bigger buckets — growth is
+    deterministic, so a restart reproduces the identical prefix. (A small
+    nonzero ``f_count`` with neither bound exceeded is a NORMAL exit: the
+    depth limit hit with leaves still pending; their records are already
+    zeroed leaves.)
     """
     ns, d = x.shape
     key = jax.random.PRNGKey(seed)
@@ -608,8 +611,15 @@ def _grow_tree_on_device(
     def pow2(v):
         return 1 << max(0, int(v - 1).bit_length())
 
-    f_pad = min(pow2(2 * ns // max(cfg.min_split_examples, 1) + 1), pow2(ns))
-    f_pad = max(64, min(f_pad, 1 << (cfg.max_depth + 1).bit_length()))
+    # Frontier <= 2 * (#splitting nodes) <= 2 * ns / min_split, and also
+    # <= 2^depth; both clamped to pow2(ns).
+    depth_cap = 1 << min(cfg.max_depth + 1, 24)
+    f_pad = min(
+        pow2(2 * ns // max(cfg.min_split_examples, 1) + 1),
+        pow2(ns),
+        depth_cap,
+    )
+    f_pad = max(64, f_pad)
     cap = max(256, min(pow2(2 * ns), pow2(4 * (2 ** min(cfg.max_depth, 26)))))
     cap = min(cap, pow2(16 * ns))
 
@@ -753,17 +763,24 @@ def _grow_tree(
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "num_classes", "max_depth"))
-def _leaf_histogram_step(
+def _leaf_histograms_all(
     x: jnp.ndarray,  # [N, D] FULL dataset
-    labels: jnp.ndarray,  # [N] one layer's labels
-    freq: jnp.ndarray,  # [C] inverted class frequency
-    split_feature: jnp.ndarray,
+    labels: jnp.ndarray,  # [N, L] int32, all layers
+    freqs: jnp.ndarray,  # [L, C] inverted class frequency per layer
+    split_feature: jnp.ndarray,  # [num_nodes] (bucketed)
     threshold: jnp.ndarray,
     left_child: jnp.ndarray,
-    num_nodes: int,
-    num_classes: int,
-    max_depth: int,
-) -> jnp.ndarray:  # [num_nodes, C] weighted counts
+    num_nodes: int,  # pow2-bucketed: per-tree node counts must not
+    num_classes: int,  # force a fresh compile (remote compiles are slow)
+    max_depth: int,  # bucketed likewise
+) -> jnp.ndarray:  # [num_nodes, L, C] weighted counts
+    """All layers' leaf refit in ONE dispatch with ONE shared descent.
+
+    (An earlier per-layer variant re-descended the full dataset once per
+    layer and recompiled per tree — num_nodes/max_depth are static and
+    differ tree to tree; here the descent runs once and the statics
+    arrive pre-bucketed by the caller.)
+    """
     node = jnp.zeros((x.shape[0],), jnp.int32)
 
     def step(node):
@@ -775,10 +792,16 @@ def _leaf_histogram_step(
         return jnp.where(lc == 0, node, nxt)
 
     node = jax.lax.fori_loop(0, max_depth, lambda _, n: step(n), node)
-    w = jnp.take(freq, labels)
-    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32) * w[:, None]
-    hist = jnp.zeros((num_nodes, num_classes), jnp.float32)
-    return hist.at[node].add(onehot)
+    outs = []
+    for l in range(labels.shape[1]):
+        w = jnp.take(freqs[l], labels[:, l])
+        onehot = (
+            jax.nn.one_hot(labels[:, l], num_classes, dtype=jnp.float32)
+            * w[:, None]
+        )
+        hist = jnp.zeros((num_nodes, num_classes), jnp.float32)
+        outs.append(hist.at[node].add(onehot))
+    return jnp.stack(outs, axis=1)  # [num_nodes, L, C]
 
 
 def _inverted_class_frequency(labels: np.ndarray, c: int) -> np.ndarray:
@@ -848,6 +871,15 @@ class ForestTrainer:
                         )
 
         x_full = jnp.asarray(features)
+        # Refit inputs shared by every tree: labels on device and padded
+        # [L, c_max] inverted class frequencies.
+        labels_dev = jnp.asarray(labels.astype(np.int32))
+        freqs_np = np.zeros((num_layers, c_max), np.float32)
+        for l in range(num_layers):
+            freqs_np[l, : class_counts[l]] = _inverted_class_frequency(
+                labels[:, l].astype(np.int64), class_counts[l]
+            )
+        freqs_dev = jnp.asarray(freqs_np)
         for t in range(start_tree, cfg.num_trees):
             start = time.perf_counter()
             # Deterministic per-tree stream: resume-safe and shardable
@@ -864,27 +896,32 @@ class ForestTrainer:
             else:
                 builder = _grow_tree(xb, yb, cfg, rng, c_max)
 
-            # Leaf refit on the full dataset per layer (:963-1012).
+            # Leaf refit on the full dataset, all layers in one dispatch
+            # (:963-1012). Statics are BUCKETED (pow2 nodes, depth to a
+            # multiple of 8): per-tree node counts must not each compile a
+            # fresh executable (remote compiles cost ~30 s+ apiece; the
+            # padding rows are unreachable leaves, sliced off below).
             nn = len(builder.split_feature)
-            sf = jnp.asarray(np.asarray(builder.split_feature, np.int32))
-            th = jnp.asarray(np.asarray(builder.threshold, np.float32))
-            lc = jnp.asarray(np.asarray(builder.left_child, np.int32))
             max_depth = max(builder.depth) if nn else 0
+            nn_b = max(256, 1 << int(nn - 1).bit_length())
+            md_b = -(-max(max_depth, 1) // 8) * 8
+            sf_np = np.zeros(nn_b, np.int32)
+            th_np = np.zeros(nn_b, np.float32)
+            lc_np = np.zeros(nn_b, np.int32)
+            sf_np[:nn] = builder.split_feature
+            th_np[:nn] = builder.threshold
+            lc_np[:nn] = builder.left_child
+            raw_all = np.asarray(
+                _leaf_histograms_all(
+                    x_full, labels_dev, freqs_dev,
+                    jnp.asarray(sf_np), jnp.asarray(th_np), jnp.asarray(lc_np),
+                    num_nodes=nn_b, num_classes=c_max, max_depth=md_b,
+                )
+            )[:nn]
             hist = np.zeros((nn, num_layers, c_max), np.float32)
             for l in range(num_layers):
                 c = class_counts[l]
-                freq = _inverted_class_frequency(labels[:, l].astype(np.int64), c)
-                raw = np.asarray(
-                    _leaf_histogram_step(
-                        x_full,
-                        jnp.asarray(labels[:, l].astype(np.int32)),
-                        jnp.asarray(freq),
-                        sf, th, lc,
-                        num_nodes=nn,
-                        num_classes=c_max,
-                        max_depth=max_depth,
-                    )
-                )[:, :c]
+                raw = raw_all[:, l, :c]
                 total = raw.sum(axis=1, keepdims=True)
                 smoothed = np.log(
                     (raw + cfg.smoothing) / (total + c * cfg.smoothing)

