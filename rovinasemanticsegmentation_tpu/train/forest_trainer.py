@@ -424,8 +424,11 @@ def grow_tree_device(
     Returns (split_feature [cap], threshold [cap], left_child [cap],
     node_depth [cap], table_len, f_count, depth). ``f_count > f_pad`` or
     ``table_len + 2 * f_count > cap`` on exit means the static buckets
-    overflowed and the caller must retry with bigger buckets — growth is
-    deterministic, so a restart reproduces the identical prefix. (A small
+    overflowed and the caller must retry with bigger buckets. Growth is
+    deterministic for a given (seed, f_pad): reruns reproduce the same
+    tree, but a retry at a BIGGER f_pad draws different per-slot uniforms
+    (the rng draw shapes include f_pad) and so grows a different — equally
+    valid — tree; the retry loop re-checks its own overflow. (A small
     nonzero ``f_count`` with neither bound exceeded is a NORMAL exit: the
     depth limit hit with leaves still pending; their records are already
     zeroed leaves.)
@@ -582,8 +585,9 @@ def _grow_tree_on_device(
 ) -> _DeviceTreeResult:
     """Drive :func:`grow_tree_device`: two host<->device round trips per
     tree in the common case (upload sample implicit, download tables),
-    retrying with 4x buckets on the rare frontier/table overflow (growth
-    is seed-deterministic, so a retry reproduces the same tree)."""
+    retrying with 4x buckets on the rare frontier/table overflow (the
+    retry grows a fresh seed-deterministic tree at the new bucket —
+    see :func:`grow_tree_device` on why the prefix is not preserved)."""
     ns, d = x.shape
     num_layers = y.shape[1]
     k = cfg.num_features or int(math.ceil(math.sqrt(d)))

@@ -49,6 +49,11 @@ GH, GW = H // STRIDE, W // STRIDE
 P = GH * GW
 D = 366
 K1, K2 = 8, 32
+# BATCH > 1 vmaps every stage over a leading keyframe axis (the bench's
+# run_batch_stacked shapes) and reports ms per KEYFRAME, exposing how much
+# of each stage's single-frame cost is dispatch/underfill amortizable by
+# batching. Usage: BATCH=5 python scripts/profile_slope.py
+BATCH = int(os.environ.get("BATCH", "1"))
 
 
 def make_depth(r):
@@ -65,7 +70,12 @@ def make_depth(r):
 
 
 def slope(name, stage, *args):
-    """stage(i, *args) -> array(s); returns device ms/iter."""
+    """stage(i, *args) -> array(s); returns device ms/iter (per keyframe).
+
+    With BATCH > 1 the stages in main() are already batched (vmap for
+    image-shaped stages, point-concat for point-shaped ones); the
+    reported number divides by BATCH.
+    """
     times = {}
     for K in (K1, K2):
         @jax.jit
@@ -84,8 +94,9 @@ def slope(name, stage, *args):
             float(scanner(jnp.int32(rep * 1000 + 1), *args))
             best = min(best, time.perf_counter() - t0)
         times[K] = best
-    ms = (times[K2] - times[K1]) / (K2 - K1) * 1000
-    print(f"{name:34s} {ms:8.3f} ms/iter   (T{K1}={times[K1]*1e3:.0f} T{K2}={times[K2]*1e3:.0f})")
+    ms = (times[K2] - times[K1]) / (K2 - K1) * 1000 / BATCH
+    unit = "ms/kf" if BATCH > 1 else "ms/iter"
+    print(f"{name:34s} {ms:8.3f} {unit}   (T{K1}={times[K1]*1e3:.0f} T{K2}={times[K2]*1e3:.0f})")
     return ms
 
 
@@ -163,13 +174,52 @@ def main():
             outs.append(jnp.argmax(full, axis=-1).astype(jnp.int8))
         return outs
 
-    slope("lab+pad", st_lab, rgb)
-    slope("patches_pallas", st_patches, lab0, dgrid)
-    slope("backproject+normals", st_normals, depth)
-    slope("descent", st_descent, feats, pp.meta, pp.thresholds,
-          pp.level_offsets, pp.level_chunks)
-    slope("leaf-hist sum", st_hist, leaves, pp.leaf_hist)
-    slope("resize+argmax", st_resize, post)
+    if BATCH > 1:
+        # Image-shaped stages: vmap over a stacked batch (distinct frames).
+        rgbs = jnp.stack(
+            [jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+             for _ in range(BATCH)]
+        )
+        depths = jnp.stack([jnp.asarray(make_depth(rng))
+                            for _ in range(BATCH)])
+        labs = jax.vmap(lambda r: reflect_pad_image(rgb_to_lab8(r),
+                                                    cfg.patch_size))(rgbs)
+        dgrids = (depths[:, ::STRIDE, ::STRIDE].astype(jnp.float32) / 1000.0)
+
+        def vm(f):
+            return lambda i, *a: jax.vmap(lambda *b: f(i, *b))(*a)
+
+        # Point-shaped stages: concatenate the batch along points (what
+        # run_batch_stacked does) — tree tables stay shared.
+        feats_b = jnp.concatenate([feats] * BATCH)
+        leaves_b = jnp.concatenate([leaves] * BATCH)
+        post_b = jnp.asarray(
+            rng.normal(size=(BATCH * P, 2, 9)).astype(np.float32))
+
+        def st_resize_b(i, post):
+            outs = []
+            for li, c in enumerate((8, 9)):
+                img = (post[:, li, :c] + i.astype(jnp.float32) * 1e-6
+                       ).reshape(BATCH, GH, GW, c)
+                full = jax.vmap(lambda g: resize_bilinear(g, H, W))(img)
+                outs.append(jnp.argmax(full, axis=-1).astype(jnp.int8))
+            return outs
+
+        slope("lab+pad", vm(st_lab), rgbs)
+        slope("patches_pallas", vm(st_patches), labs, dgrids)
+        slope("backproject+normals", vm(st_normals), depths)
+        slope("descent", st_descent, feats_b, pp.meta, pp.thresholds,
+              pp.level_offsets, pp.level_chunks)
+        slope("leaf-hist sum", st_hist, leaves_b, pp.leaf_hist)
+        slope("resize+argmax", st_resize_b, post_b)
+    else:
+        slope("lab+pad", st_lab, rgb)
+        slope("patches_pallas", st_patches, lab0, dgrid)
+        slope("backproject+normals", st_normals, depth)
+        slope("descent", st_descent, feats, pp.meta, pp.thresholds,
+              pp.level_offsets, pp.level_chunks)
+        slope("leaf-hist sum", st_hist, leaves, pp.leaf_hist)
+        slope("resize+argmax", st_resize, post)
 
 
 if __name__ == "__main__":

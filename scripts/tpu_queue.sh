@@ -1,0 +1,33 @@
+#!/bin/bash
+# Waits for the TPU tunnel to recover, then runs the round-3 measurement
+# plan sequentially (one TPU process at a time), logging to /tmp/tpuq.
+# Generous per-step timeouts; steps exit cleanly rather than being killed
+# mid-compile (see ROADMAP.md: killing a client mid-remote-compile wedges
+# the terminal).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpuq
+
+probe() {
+    timeout 360 python -c "import jax; print(jax.devices())" >/tmp/tpuq/probe.log 2>&1
+}
+
+echo "$(date) waiting for TPU..." >> /tmp/tpuq/queue.log
+until probe; do
+    echo "$(date) still down" >> /tmp/tpuq/queue.log
+    sleep 240
+done
+echo "$(date) TPU UP: $(cat /tmp/tpuq/probe.log | tail -1)" >> /tmp/tpuq/queue.log
+
+run() {
+    name=$1; tmo=$2; shift 2
+    echo "$(date) START $name" >> /tmp/tpuq/queue.log
+    timeout "$tmo" "$@" > "/tmp/tpuq/$name.log" 2>&1
+    echo "$(date) END $name rc=$?" >> /tmp/tpuq/queue.log
+}
+
+run bench 5400 python bench.py
+run bench_train 3600 python scripts/bench_train.py 100000 2
+run exp_descent 5400 python scripts/exp_descent.py bench
+run profile_normals 3600 python scripts/profile_normals.py
+echo "$(date) ALL DONE" >> /tmp/tpuq/queue.log
