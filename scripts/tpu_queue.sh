@@ -30,4 +30,6 @@ run bench 5400 python bench.py
 run bench_train 3600 python scripts/bench_train.py 100000 2
 run exp_descent 5400 python scripts/exp_descent.py bench
 run profile_normals 3600 python scripts/profile_normals.py
+run exp_patches 5400 python scripts/exp_patches.py bench
+run slope_b5 3600 env BATCH=5 python scripts/profile_slope.py
 echo "$(date) ALL DONE" >> /tmp/tpuq/queue.log
