@@ -27,7 +27,7 @@ import numpy as np
 MAP_EVERY = 5  # keyframes per local map
 MAP_POINTS = 30000
 N_KEYFRAMES = 30  # long enough that tunnel latency jitter averages out
-BATCH_SIZES = (5, 10)  # keyframes per dispatch (map cadence stays MAP_EVERY)
+BATCH_SIZES = (5, 10, 15)  # keyframes per dispatch (map cadence stays MAP_EVERY)
 N_EPOCHS = 3
 
 
