@@ -252,6 +252,78 @@ class TestShardedCrf:
         assert plan.comms_per_filter > 0
         assert plan.replicated_comms_per_filter > 0
 
+    def test_vertex_sharded_large_surface_cloud(self):
+        """Bigger, surface-structured cloud: many vertices, real halo and
+        boundary traffic (the small random case leaves most routing
+        buckets near-empty)."""
+        import jax.numpy as jnp
+
+        from rovinasemanticsegmentation_tpu.models.crf import (
+            potts_mean_field_multi,
+        )
+        from rovinasemanticsegmentation_tpu.models.lattice import (
+            build_lattice,
+            lattice_filter,
+        )
+        from rovinasemanticsegmentation_tpu.parallel.mesh import make_mesh
+        from rovinasemanticsegmentation_tpu.parallel.sharded_lattice import (
+            plan_sharded_lattice,
+            vertex_sharded_potts_mean_field,
+        )
+
+        rng = np.random.default_rng(9)
+        n, blocks, w, iters = 4000, (3, 4), 4.0, 3
+        # Points on a wavy surface patch (shared lattice vertices, like a
+        # backprojected keyframe), xyz+rgb features at serving kernels.
+        xy = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+        z = (2.0 + 0.3 * np.sin(xy[:, 0] * 2) + 0.2 * xy[:, 1] ** 2).astype(
+            np.float32
+        )
+        pts = np.concatenate([xy, z[:, None]], axis=1)
+        rgbf = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        feats = np.concatenate([pts / 0.5, rgbf / 4.0], axis=1).astype(
+            np.float32
+        )
+        unary = rng.normal(size=(n, sum(blocks))).astype(np.float32)
+        lattice = build_lattice(feats)
+        raw = lattice_filter(
+            jnp.ones((n, 1), jnp.float32),
+            jnp.asarray(lattice.offsets),
+            jnp.asarray(lattice.barycentric),
+            jnp.asarray(lattice.blur_n1),
+            jnp.asarray(lattice.blur_n2),
+            lattice.num_vertices,
+        )[:, 0]
+        norm = 1.0 / jnp.sqrt(raw + 1e-20)
+        want = np.asarray(
+            potts_mean_field_multi(
+                jnp.asarray(unary),
+                jnp.asarray(lattice.offsets),
+                jnp.asarray(lattice.barycentric),
+                jnp.asarray(lattice.blur_n1),
+                jnp.asarray(lattice.blur_n2),
+                jnp.asarray(norm),
+                jnp.float32(w),
+                blocks,
+                lattice.num_vertices,
+                iters,
+            )
+        )
+        mesh = make_mesh(8)
+        plan = plan_sharded_lattice(lattice, mesh.shape["model"])
+        got = vertex_sharded_potts_mean_field(
+            mesh, "model", unary, lattice, w, blocks, iters, plan=plan
+        )
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+        # NOTE measured here: at M ~ 2k the halo design moves MORE than
+        # the replicated psum (18432 vs 8196 values/filter/channel) — a
+        # d = 6 lattice's blur neighbors are non-local, so the surface
+        # terms only win at much larger M (the plan reports both so the
+        # caller can pick; see SCALING.md 3-4). The assertion here is
+        # numerical equality at a non-trivial size, not the crossover.
+        assert plan.comms_per_filter > 0
+        assert plan.replicated_comms_per_filter > 0
+
 
 @pytest.mark.slow
 class TestTreeParallel:
