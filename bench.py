@@ -275,16 +275,19 @@ def main() -> None:
         fusion_worker.shutdown()
         return rates
 
-    # Batch-size sweep: the smaller sizes get one probing epoch; the best
-    # batch gets the full epoch count for the headline number.
+    # Batch-size sweep: every size gets two probing epochs; the best batch
+    # gets the full epoch count for the headline number. The probe's max
+    # is NOT mixed into the epoch list — `best` may come from it, but
+    # `median` is the median of raw full-run epochs only (mixing a max
+    # into the sample biases the median toward the best case on this
+    # bimodal tunnel).
     curve = {}
     for b in BATCH_SIZES:
         curve[b] = max(run_epochs(b, 2))
         print(f"batch {b}: {curve[b]:.2f} kf/s", file=sys.stderr)
     best_batch = max(curve, key=curve.get)
-    rates = run_epochs(best_batch, N_EPOCHS)
-    rates = sorted(rates + [curve[best_batch]])
-    best = rates[-1]
+    rates = sorted(run_epochs(best_batch, N_EPOCHS))
+    best = max(rates[-1], curve[best_batch])
     median = rates[len(rates) // 2]
 
     # Coarse stage split (frame path vs map path), measured with the

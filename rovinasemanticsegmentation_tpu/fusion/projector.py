@@ -28,6 +28,51 @@ from ..utils.calibration import Calibration
 _BIG = jnp.float32(3.0e38)
 
 
+
+def _project_pixels(
+    points, rotation_inv, translation_inv, intrinsics,
+    min_distance, max_distance, *, height, width,
+):
+    """Shared camera transform + pixel assignment for both projectors.
+
+    Returns ``(flat [C3*N] i32, zf [C3*N] f32)``: the stacked-image flat
+    pixel id per (camera, point) — the one-past-the-end OOB slot for
+    invalid points — and the camera depth (_BIG where invalid). The int()
+    truncation and validity rule is segmenter.cpp:578-588's.
+    """
+    ncam = rotation_inv.shape[0]
+    npix = ncam * height * width
+
+    cam = (
+        jnp.einsum(
+            "cij,nj->cni", rotation_inv, points,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + translation_inv[:, None, :]
+    )  # [C3, N, 3]
+    z = cam[..., 2]
+    uvw = jnp.einsum(
+        "cij,cnj->cni", intrinsics, cam, precision=jax.lax.Precision.HIGHEST
+    )
+    safe_z = jnp.where(z > 0, z, 1.0)
+    px = (uvw[..., 0] / safe_z).astype(jnp.int32)
+    py = (uvw[..., 1] / safe_z).astype(jnp.int32)
+    valid = (
+        (z >= min_distance)
+        & (z <= max_distance)
+        & (px >= 0)
+        & (px < width)
+        & (py >= 0)
+        & (py < height)
+    )
+    # Stack cameras vertically (projector image = ncam*H x W,
+    # segmenter.cpp:237).
+    rows = py + jnp.arange(ncam, dtype=jnp.int32)[:, None] * height
+    flat = jnp.where(valid, rows * width + px, npix).reshape(-1)
+    zf = jnp.where(valid, z, _BIG).reshape(-1)
+    return flat, zf
+
+
 @partial(jax.jit, static_argnames=("height", "width"))
 def project_zbuffer(
     points: jnp.ndarray,  # [N, 3] world points
@@ -44,36 +89,10 @@ def project_zbuffer(
     ncam = rotation_inv.shape[0]
     n = points.shape[0]
 
-    cam = (
-        jnp.einsum(
-            "cij,nj->cni", rotation_inv, points,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        + translation_inv[:, None, :]
-    )  # [C3, N, 3]
-    z = cam[..., 2]
-    uvw = jnp.einsum(
-        "cij,cnj->cni", intrinsics, cam, precision=jax.lax.Precision.HIGHEST
+    flat, zf = _project_pixels(
+        points, rotation_inv, translation_inv, intrinsics,
+        min_distance, max_distance, height=height, width=width,
     )
-    safe_z = jnp.where(z > 0, z, 1.0)
-    px = (uvw[..., 0] / safe_z).astype(jnp.int32)
-    py = (uvw[..., 1] / safe_z).astype(jnp.int32)
-
-    valid = (
-        (z >= min_distance)
-        & (z <= max_distance)
-        & (px >= 0)
-        & (px < width)
-        & (py >= 0)
-        & (py < height)
-    )
-    # Stack cameras vertically (projector image = ncam*H x W,
-    # segmenter.cpp:237).
-    rows = py + jnp.arange(ncam, dtype=jnp.int32)[:, None] * height
-    flat = jnp.where(valid, rows * width + px, ncam * height * width)  # OOB slot
-
-    flat = flat.reshape(-1)
-    zf = jnp.where(valid, z, _BIG).reshape(-1)
 
     zbuf = jnp.full((ncam * height * width + 1,), _BIG, jnp.float32)
     zbuf = zbuf.at[flat].min(zf)
@@ -120,31 +139,10 @@ def project_winners(
     n = points.shape[0]
     npix = ncam * height * width
 
-    cam = (
-        jnp.einsum(
-            "cij,nj->cni", rotation_inv, points,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        + translation_inv[:, None, :]
+    flat, zf = _project_pixels(
+        points, rotation_inv, translation_inv, intrinsics,
+        min_distance, max_distance, height=height, width=width,
     )
-    z = cam[..., 2]
-    uvw = jnp.einsum(
-        "cij,cnj->cni", intrinsics, cam, precision=jax.lax.Precision.HIGHEST
-    )
-    safe_z = jnp.where(z > 0, z, 1.0)
-    px = (uvw[..., 0] / safe_z).astype(jnp.int32)
-    py = (uvw[..., 1] / safe_z).astype(jnp.int32)
-    valid = (
-        (z >= min_distance)
-        & (z <= max_distance)
-        & (px >= 0)
-        & (px < width)
-        & (py >= 0)
-        & (py < height)
-    )
-    rows = py + jnp.arange(ncam, dtype=jnp.int32)[:, None] * height
-    flat = jnp.where(valid, rows * width + px, npix).reshape(-1)
-    zf = jnp.where(valid, z, _BIG).reshape(-1)
 
     # Within one camera block, slot order == point-index order, and camera
     # blocks never share a pixel row — so the slot id is a faithful

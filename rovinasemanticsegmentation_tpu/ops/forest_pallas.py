@@ -299,6 +299,10 @@ def _descent_kernel(
         out_ref[:, pl.ds(t * LANES, LANES)] = nodes[t]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_levels", "feat_bits", "tile", "interpret"),
+)
 def find_leaves_pallas(
     features: jnp.ndarray,  # [P, D] f32 (P % tile == 0 after padding)
     meta: jnp.ndarray,  # [T, Np] i32

@@ -233,9 +233,11 @@ def _normal_angles_impl(
     # int(smoothing) border. Integral sizes make those agree (the config
     # default 10.0 is); non-integral sizes could deviate from PCL's
     # sequential passes in rows [int(s), ceil(s)).
-    assert float(normal_smoothing_size) == int(normal_smoothing_size), (
-        "normal_smoothing_size must be integral for the banded chamfer"
-    )
+    if float(normal_smoothing_size) != int(normal_smoothing_size):
+        raise ValueError(
+            "normal_smoothing_size must be integral for the banded chamfer "
+            f"(got {normal_smoothing_size!r})"
+        )
     h, w = points.shape[0], points.shape[1]
     z = points[..., 2]
     invalid = jnp.isnan(z)

@@ -46,6 +46,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.crf import exp_and_normalize
 from ..models.lattice import PermutohedralLattice
+from ..models.lattice import segment_sum_sorted_t as _seg_sum_t
 
 
 def _blur(verts: jnp.ndarray, blur_n1: jnp.ndarray, blur_n2: jnp.ndarray,
@@ -134,20 +135,6 @@ def sharded_potts_mean_field(
         jax.device_put(jnp.asarray(norm_p), shard),
     )
     return np.asarray(q)[:n]
-
-
-def _seg_sum_t(contrib: jnp.ndarray, starts: jnp.ndarray, ends: jnp.ndarray):
-    """[C, S] stream sorted by segment -> [C, M] via lane-prefix diffs
-    (the lattice_filter_t splat, models/lattice.py)."""
-    c, s = contrib.shape
-    spad = -(-s // 128) * 128
-    x = jnp.pad(contrib, ((0, 0), (0, spad - s))).reshape(c, spad // 128, 128)
-    within = jnp.cumsum(x, axis=2)
-    rowtot = within[:, :, -1]
-    carry = jnp.cumsum(rowtot, axis=1) - rowtot
-    prefix = (within + carry[:, :, None]).reshape(c, spad)[:, :s]
-    prefix = jnp.concatenate([jnp.zeros((c, 1), contrib.dtype), prefix], axis=1)
-    return jnp.take(prefix, ends, axis=1) - jnp.take(prefix, starts, axis=1)
 
 
 def sharded_potts_mean_field_t(

@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..models.crf import exp_and_normalize
-from ..models.lattice import PermutohedralLattice
+from ..models.lattice import PermutohedralLattice, segment_sum_sorted_t
 
 LANES = 128
 
@@ -312,15 +312,7 @@ def plan_sharded_lattice(
 
 def _seg_sum(contrib: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
     """[C, S] stream (sorted by segment) -> [C, len] via prefix diffs."""
-    c, s = contrib.shape
-    spad = -(-s // LANES) * LANES
-    x = jnp.pad(contrib, ((0, 0), (0, spad - s))).reshape(c, spad // LANES, LANES)
-    within = jnp.cumsum(x, axis=2)
-    rowtot = within[:, :, -1]
-    carry = jnp.cumsum(rowtot, axis=1) - rowtot
-    prefix = (within + carry[:, :, None]).reshape(c, spad)[:, :s]
-    prefix = jnp.concatenate([jnp.zeros((c, 1), contrib.dtype), prefix], axis=1)
-    return jnp.take(prefix, seg[1], axis=1) - jnp.take(prefix, seg[0], axis=1)
+    return segment_sum_sorted_t(contrib, seg[0], seg[1])
 
 
 def _filter_shard(values_t, plan_args, axis, d1, m_loc, reverse=False):

@@ -249,10 +249,7 @@ def _map_fused(
     )
     from ..models.lattice import build_lattice_device
 
-    feats = jnp.concatenate(
-        [points * jnp.float32(xyz_kernel), cloud_rgb * jnp.float32(rgb_kernel)],
-        axis=1,
-    )
+    feats = _crf_feats(points, cloud_rgb, xyz_kernel, rgb_kernel)
     built = build_lattice_device(feats, m_bucket=m_bucket)
     m = built[-1]
     labels = _crf_labels_multi(
@@ -578,6 +575,11 @@ class LocalMapPipeline:
         map of a size takes the split path, which syncs and validates the
         bucket."""
         n = int(cloud_points.shape[0])
+        # Drain BEFORE the gate: an overflow observed on an earlier map
+        # grows the bucket and clears _m_checked, and THIS map must then
+        # take the validating split path — gating first would dispatch it
+        # on the grown-but-never-validated bucket.
+        self._drain_overflow_flags()
         if (
             self.fused_dispatch
             and self.crf.use_dense_crf
@@ -585,7 +587,6 @@ class LocalMapPipeline:
             and cloud_rgb is not None
             and n in self._m_checked
         ):
-            self._drain_overflow_flags()
             proj = self.projector
             _, _, posts, pose_packed = self._prep_nodes(nodes)
             labels, m = _map_fused(

@@ -592,20 +592,7 @@ def _grow_tree_on_device(
     num_layers = y.shape[1]
     k = cfg.num_features or int(math.ceil(math.sqrt(d)))
     y_dev = jnp.asarray(y.astype(np.int32))
-    class_weights = np.ones(num_classes, np.float32)
-    if cfg.use_class_frequency:
-        if num_layers > 1:
-            log.warning(
-                "class frequency weighting is not supported in the "
-                "multi-label case (libforest parity); proceeding unweighted"
-            )
-        else:
-            counts = np.bincount(
-                y[:, 0].astype(np.int64), minlength=num_classes
-            ).astype(np.float32)
-            class_weights = np.where(
-                counts > 0, ns / np.maximum(counts, 1), 1.0
-            )
+    class_weights = _tree_class_weights(cfg, y, ns, num_classes)
     seed = np.uint32(rng.integers(0, 2**32, dtype=np.uint64))
 
     # Bucket sizing: every level's splitting nodes hold >= min_split
@@ -667,6 +654,30 @@ class _TreeBuilder:
         return left
 
 
+def _tree_class_weights(
+    cfg: "TrainerConfig", y: np.ndarray, ns: int, num_classes: int
+) -> np.ndarray:
+    """Per-tree class weights (inverted frequency when enabled).
+
+    libforest parity: weighting is unsupported in the multi-label case —
+    learning.cpp:498 prints "not supported" and proceeds with ones.
+    """
+    num_layers = y.shape[1]
+    weights = np.ones(num_classes, np.float32)
+    if cfg.use_class_frequency:
+        if num_layers > 1:
+            log.warning(
+                "class frequency weighting is not supported in the "
+                "multi-label case (libforest parity); proceeding unweighted"
+            )
+        else:
+            counts = np.bincount(
+                y[:, 0].astype(np.int64), minlength=num_classes
+            ).astype(np.float32)
+            weights = np.where(counts > 0, ns / np.maximum(counts, 1), 1.0)
+    return weights.astype(np.float32)
+
+
 def _grow_tree(
     x: jnp.ndarray,  # [Ns, D] bootstrap sample (device)
     y: np.ndarray,  # [Ns, L] labels (host + device)
@@ -680,21 +691,8 @@ def _grow_tree(
     y_dev = jnp.asarray(y.astype(np.int32))
 
     # Inverted class frequency of the bootstrap sample (learning.cpp:710,
-    # data.h:346-357); multi-label is unweighted, as in the reference
-    # (learning.cpp:498 prints "not supported" and proceeds with ones).
-    class_weights = np.ones(num_classes, np.float32)
-    if cfg.use_class_frequency:
-        if num_layers > 1:
-            log.warning(
-                "class frequency weighting is not supported in the "
-                "multi-label case (libforest parity); proceeding unweighted"
-            )
-        else:
-            counts = np.bincount(
-                y[:, 0].astype(np.int64), minlength=num_classes
-            ).astype(np.float32)
-            class_weights = np.where(counts > 0, ns / np.maximum(counts, 1), 1.0)
-    class_weights_dev = jnp.asarray(class_weights)
+    # data.h:346-357).
+    class_weights_dev = jnp.asarray(_tree_class_weights(cfg, y, ns, num_classes))
 
     tree = _TreeBuilder()
     node_of = jnp.zeros((ns,), jnp.int32)
