@@ -328,13 +328,17 @@ def main():
     }
     for name, kw in variants.items():
         use_perm = kw["chunk_skip"]
-        res = np.asarray(
-            find_leaves_v(
-                xp if use_perm else xd,
-                meta_r if use_perm else meta,
-                thr, off, nch, lm.num_levels, lm.feat_bits, **kw,
+        try:
+            res = np.asarray(
+                find_leaves_v(
+                    xp if use_perm else xd,
+                    meta_r if use_perm else meta,
+                    thr, off, nch, lm.num_levels, lm.feat_bits, **kw,
+                )
             )
-        )
+        except Exception as e:
+            print(f"{name}: COMPILE/RUN FAILED {type(e).__name__}: {e}")
+            continue
         ok = np.array_equal(res, base)
         print(f"{name}: {'PARITY OK' if ok else 'MISMATCH ' + str((res != base).mean())}")
         if not ok and MODE == "parity":
@@ -372,13 +376,17 @@ def main():
     def xp_pert(i):
         return xp + i.astype(jnp.float32) * 1e-6
 
-    slope("A baseline", lambda f: find_leaves_pallas(
+    def safe(fn, *a):
+        try:
+            fn(*a)
+        except Exception as e:  # one variant's Mosaic failure mustn't
+            print(f"FAILED {a[0] if a else ''}: {type(e).__name__}: {e}")
+
+    safe(slope, "A baseline", lambda f: find_leaves_pallas(
         f, meta, thr, off, nch, lm.num_levels, lm.feat_bits))
-    slope("B transpose", lambda f: find_leaves_v(
+    safe(slope, "B transpose", lambda f: find_leaves_v(
         f, meta, thr, off, nch, lm.num_levels, lm.feat_bits,
         transpose_pack=True))
-    for K in ():
-        pass
     # C/D use permuted features.
     def slope_p(name, fn):
         times = {}
@@ -401,10 +409,10 @@ def main():
         ms = (times[16] - times[4]) / 12 * 1000
         print(f"{name:16s} {ms:7.2f} ms/iter")
 
-    slope_p("C chunkskip", lambda f: find_leaves_v(
+    safe(slope_p, "C chunkskip", lambda f: find_leaves_v(
         f, meta_r, thr, off, nch, lm.num_levels, lm.feat_bits,
         chunk_skip=True))
-    slope_p("D both", lambda f: find_leaves_v(
+    safe(slope_p, "D both", lambda f: find_leaves_v(
         f, meta_r, thr, off, nch, lm.num_levels, lm.feat_bits,
         transpose_pack=True, chunk_skip=True))
 
