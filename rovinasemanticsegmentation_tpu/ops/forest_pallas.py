@@ -150,6 +150,7 @@ def _descent_kernel(
     feat_bits: int,
     feat_chunks: int,
     tile: int,
+    transpose_pack: bool = False,
 ):
     """Points-on-lanes descent: per-point state lives as [S, 128] vectors
     (S = tile/128), so the chunk sweep costs ~1 vector op per chunk instead
@@ -183,6 +184,7 @@ def _descent_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0) % LANES
     )  # static per-row lane index p % 128
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    eye = jnp.eye(LANES, dtype=jnp.float32) if transpose_pack else None
 
     def level_cond(state):
         l, active, _ = state
@@ -233,40 +235,77 @@ def _descent_kernel(
         metas = [swept[2 * t] for t in range(num_trees)]
         thrs = [swept[2 * t + 1] for t in range(num_trees)]
 
-        # Up-convert every tree's f to the sublane domain: row p must hold
-        # f-row p//128, i.e. a 128x sublane replication — a broadcast +
-        # reshape, no arithmetic — followed by a [tile, 128]-domain diag
-        # gather per GROUP. The [tile, 128] diag gathers are the kernel's
-        # dominant cost (measured ~0.86 ms each over a VGA frame), so
-        # trees ride in groups of 3 packed into one int32 (3 * feat_bits
-        # <= 31): ceil(T/3) gathers instead of T.
-        per_word = max(1, 31 // feat_bits)
+        # Up-convert every tree's f to the sublane domain. Two designs:
+        #
+        # Diag-gather (default False path): row p must hold f-row p//128,
+        # i.e. a 128x sublane replication — a broadcast + reshape, no
+        # arithmetic — followed by a [tile, 128]-domain diag gather per
+        # GROUP. The [tile, 128] diag gathers are the kernel's dominant
+        # cost (measured ~0.86 ms each over a VGA frame), so trees ride in
+        # groups of 3 packed into one int32 (3 * feat_bits <= 31):
+        # ceil(T/3) gathers instead of T.
+        #
+        # MXU-transpose (transpose_pack=True, VERDICT r3 item 3): the diag
+        # gathers — 40% of all gather invocations over the trained fixture
+        # (3266 of 8165, scripts/exp_descent.py) — are eliminated entirely.
+        # Trees pack 2-per-word (2 * feat_bits <= 23 keeps the word an
+        # exactly-representable f32 int); an identity dot_general at
+        # HIGHEST precision transposes [S, 128] -> [128, S] on the MXU
+        # (one nonzero per row, so no accumulation error), and per-point
+        # words come back via s_rows static column slices + lane
+        # broadcasts — no dynamic gathers.
+        if transpose_pack:
+            per_word = max(1, 23 // feat_bits)
+        else:
+            per_word = max(1, 31 // feat_bits)
         groups = [
             list(range(g, min(g + per_word, num_trees)))
             for g in range(0, num_trees, per_word)
         ]
-        g_stacks = []
-        for grp in groups:
-            word = metas[grp[0]] & fmask
-            for k, t in enumerate(grp[1:], start=1):
-                word = word | ((metas[t] & fmask) << (k * feat_bits))
-            g_stacks.append(word)
-        f_stack = jnp.concatenate(g_stacks, axis=1)  # [S, G * 128]
-        ng = len(groups)
-        f_rows = jnp.broadcast_to(
-            f_stack[:, None, :], (s_rows, LANES, ng * LANES)
-        ).reshape(tile, ng * LANES)  # [tile, G * 128]
-
-        # Pack: lane t of row p holds tree t's feature index for point p.
         packed = jnp.zeros((tile, LANES), jnp.int32)
-        for gi, grp in enumerate(groups):
-            rep = jnp.take_along_axis(
-                f_rows[:, gi * LANES : (gi + 1) * LANES], lane_of_p, axis=1
-            )
-            for k, t in enumerate(grp):
-                packed = jnp.where(
-                    lane_id == t, (rep >> (k * feat_bits)) & fmask, packed
+        if transpose_pack:
+            for grp in groups:
+                word = metas[grp[0]] & fmask
+                for k, t in enumerate(grp[1:], start=1):
+                    word = word | ((metas[t] & fmask) << (k * feat_bits))
+                wt = jax.lax.dot_general(
+                    eye, word.astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [128, S]: wt[l, s] = word of point s * 128 + l
+                rep_blocks = []
+                for s in range(s_rows):
+                    col = jax.lax.dynamic_slice(wt, (0, s), (LANES, 1))
+                    rep_blocks.append(
+                        jnp.broadcast_to(col, (LANES, LANES)).astype(jnp.int32)
+                    )
+                rep = jnp.concatenate(rep_blocks, axis=0)  # [tile, 128]
+                for k, t in enumerate(grp):
+                    packed = jnp.where(
+                        lane_id == t, (rep >> (k * feat_bits)) & fmask, packed
+                    )
+        else:
+            g_stacks = []
+            for grp in groups:
+                word = metas[grp[0]] & fmask
+                for k, t in enumerate(grp[1:], start=1):
+                    word = word | ((metas[t] & fmask) << (k * feat_bits))
+                g_stacks.append(word)
+            f_stack = jnp.concatenate(g_stacks, axis=1)  # [S, G * 128]
+            ng = len(groups)
+            f_rows = jnp.broadcast_to(
+                f_stack[:, None, :], (s_rows, LANES, ng * LANES)
+            ).reshape(tile, ng * LANES)  # [tile, G * 128]
+
+            # Pack: lane t of row p holds tree t's feature index for point p.
+            for gi, grp in enumerate(groups):
+                rep = jnp.take_along_axis(
+                    f_rows[:, gi * LANES : (gi + 1) * LANES], lane_of_p, axis=1
                 )
+                for k, t in enumerate(grp):
+                    packed = jnp.where(
+                        lane_id == t, (rep >> (k * feat_bits)) & fmask, packed
+                    )
 
         # x[p, f_p] for ALL trees at once: lane-gathers over the tile's
         # feature chunks; column t of the result is tree t's lookup.
@@ -299,9 +338,26 @@ def _descent_kernel(
         out_ref[:, pl.ds(t * LANES, LANES)] = nodes[t]
 
 
+def _transpose_pack_default() -> bool:
+    """Env-pinned default for the descent pack design.
+
+    ``ROVINA_DESCENT_TRANSPOSE=1/0`` overrides; unset falls back to the
+    diag-gather design until the MXU-transpose variant's TPU slope check
+    flips it (VERDICT r3 item 3 — parity is proven in interpret mode, the
+    win must be confirmed compiled)."""
+    import os
+
+    v = os.environ.get("ROVINA_DESCENT_TRANSPOSE")
+    if v is not None:
+        return v not in ("0", "false", "False", "")
+    return False
+
+
 @partial(
     jax.jit,
-    static_argnames=("num_levels", "feat_bits", "tile", "interpret"),
+    static_argnames=(
+        "num_levels", "feat_bits", "tile", "interpret", "transpose_pack"
+    ),
 )
 def find_leaves_pallas(
     features: jnp.ndarray,  # [P, D] f32 (P % tile == 0 after padding)
@@ -313,10 +369,13 @@ def find_leaves_pallas(
     feat_bits: int,
     tile: int = 1024,
     interpret: bool = False,
+    transpose_pack: "bool | None" = None,
 ) -> jnp.ndarray:  # [P, T] leaf ids (level-major numbering)
     # Mosaic targets TPUs; anywhere else (CPU tests, virtual meshes) the
     # kernel runs through the Pallas interpreter transparently.
     interpret = interpret or jax.default_backend() != "tpu"
+    if transpose_pack is None:
+        transpose_pack = _transpose_pack_default()
     p, d = features.shape
     t_count = meta.shape[0]
     if t_count > LANES:
@@ -339,6 +398,7 @@ def find_leaves_pallas(
             feat_bits=feat_bits,
             feat_chunks=feat_chunks,
             tile=tile,
+            transpose_pack=transpose_pack,
         ),
         grid=(p_pad // tile,),
         in_specs=[

@@ -229,15 +229,6 @@ def normal_angles_grid(
 def _normal_angles_impl(
     points, stride: Optional[int], max_depth_change_factor, normal_smoothing_size
 ):
-    # The banded chamfer's halo is ceil(smoothing); the consumer masks an
-    # int(smoothing) border. Integral sizes make those agree (the config
-    # default 10.0 is); non-integral sizes could deviate from PCL's
-    # sequential passes in rows [int(s), ceil(s)).
-    if float(normal_smoothing_size) != int(normal_smoothing_size):
-        raise ValueError(
-            "normal_smoothing_size must be integral for the banded chamfer "
-            f"(got {normal_smoothing_size!r})"
-        )
     h, w = points.shape[0], points.shape[1]
     z = points[..., 2]
     invalid = jnp.isnan(z)
@@ -262,7 +253,15 @@ def _normal_angles_impl(
         | jnp.roll(change_y, 1, axis=0)  # partner y+1
     )
 
-    distance = chamfer_distance_map(change, saturation=normal_smoothing_size)
+    # The banded chamfer's halo is ceil(smoothing) while the consumer masks
+    # an int(smoothing) border; integral sizes (the config default 10.0)
+    # make those agree. Non-integral sizes take the exact full-height scan
+    # instead of hard-failing (they are rare enough that speed is moot).
+    integral_size = float(normal_smoothing_size) == int(normal_smoothing_size)
+    distance = chamfer_distance_map(
+        change,
+        saturation=normal_smoothing_size if integral_size else None,
+    )
 
     border = int(normal_smoothing_size)
     rect_max = int(normal_smoothing_size)  # rects take values 2..rect_max

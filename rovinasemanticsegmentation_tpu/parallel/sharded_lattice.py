@@ -68,6 +68,7 @@ class ShardedLatticePlan:
     d1: int
     n: int  # real point count
     n_loc: int  # padded points per shard
+    m: int  # real vertex count (pre-bucketing)
     m_loc: int  # padded local vertices per shard
     point_order: np.ndarray  # [N] original index of sorted-position i
     # Local splat stream (sorted by dest local vertex).
@@ -101,8 +102,14 @@ class ShardedLatticePlan:
 
     @property
     def replicated_comms_per_filter(self) -> int:
-        """What the replicated-vertex design would move (per channel)."""
-        return self.n_shards * (self.m_loc * self.n_shards + 1)
+        """What the replicated-vertex design would move (per channel).
+
+        Uses the REAL vertex count M (the replicated psum moves [C, M+1]
+        per filter), not ``d * m_loc`` — the pow2 bucket of the max
+        per-shard ownership can overstate M+1 by 2x or more and would skew
+        the halo-vs-psum comparison.
+        """
+        return self.n_shards * (self.m + 1)
 
 
 def plan_sharded_lattice(
@@ -294,7 +301,7 @@ def plan_sharded_lattice(
         bary_p[s] = bary_s[rows].T
 
     return ShardedLatticePlan(
-        n_shards=d, d1=d1, n=n, n_loc=n_loc, m_loc=m_loc,
+        n_shards=d, d1=d1, n=n, n_loc=n_loc, m=m, m_loc=m_loc,
         point_order=order.astype(np.int64),
         src_l=src_l, w_l=w_l, seg_l=seg_l,
         src_b=src_b, w_b=w_b, seg_b=seg_b,
@@ -430,3 +437,62 @@ def vertex_sharded_potts_mean_field(
     out = np.zeros((n, ctot), np.float32)
     out[plan.point_order] = q_t[:, : plan.n].T
     return out
+
+
+# ----------------------------------------------------------------------
+# Variant selection (per map, at load time)
+# ----------------------------------------------------------------------
+
+
+def choose_crf_variant(plan: ShardedLatticePlan) -> str:
+    """``'vertex'`` when the halo design moves fewer values per filter.
+
+    The plan carries both designs' measured comm volumes: the vertex-sharded
+    halo exchange moves O(boundary) surface terms, the replicated design
+    psums the whole [C, M+1] vertex table. High-locality clouds (surfaces,
+    scan lines) have small boundaries and flip to ``'vertex'`` once M grows;
+    low-locality clouds (near-random feature spreads) stay ``'replicated'``
+    (see SCALING.md for the measured crossover).
+    """
+    if plan.comms_per_filter < plan.replicated_comms_per_filter:
+        return "vertex"
+    return "replicated"
+
+
+def auto_sharded_potts_mean_field(
+    mesh: Mesh,
+    axis: str,
+    unary: np.ndarray,  # [N, Ctot] energies (all layers concatenated)
+    lattice: PermutohedralLattice,
+    weight: float,
+    blocks: Tuple[int, ...],
+    n_iterations: int,
+    plan: "ShardedLatticePlan | None" = None,
+    force: "str | None" = None,
+) -> "Tuple[np.ndarray, str]":
+    """Sharded mean-field with the comm-cheaper variant chosen per map.
+
+    Plans the vertex sharding once (host-side, at map load), compares the
+    two designs' comm volumes (:func:`choose_crf_variant`), and runs the
+    winner. ``force`` overrides the choice ('replicated' | 'vertex').
+    Returns ``(marginals [N, Ctot], variant_used)``; both variants match
+    the single-device ``potts_mean_field_multi_t`` numerically.
+    """
+    d = mesh.shape[axis]
+    if plan is None:
+        plan = plan_sharded_lattice(lattice, d)
+    variant = force or choose_crf_variant(plan)
+    if variant == "vertex":
+        q = vertex_sharded_potts_mean_field(
+            mesh, axis, unary, lattice, weight, blocks, n_iterations,
+            plan=plan,
+        )
+    elif variant == "replicated":
+        from .sharded_crf import sharded_potts_mean_field_t
+
+        q = sharded_potts_mean_field_t(
+            mesh, axis, unary, lattice, weight, blocks, n_iterations
+        )
+    else:
+        raise ValueError(f"unknown CRF sharding variant {variant!r}")
+    return q, variant

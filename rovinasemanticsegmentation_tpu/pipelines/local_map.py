@@ -288,12 +288,20 @@ class LocalMapPipeline:
         unknown_labels: Sequence[int],
         crf: CrfParams = CrfParams(),
         use_device_lattice: bool = True,
+        mesh=None,
+        mesh_axis: str = "model",
     ):
         self.projector = projector
         self.class_counts = [int(c) for c in class_counts]
         self.unknown_labels = [int(u) for u in unknown_labels]
         self.crf = crf
         self.use_device_lattice = bool(use_device_lattice)
+        # Multi-chip serving: with a mesh, CRF smoothing runs point-sharded
+        # over `mesh_axis`, auto-selecting replicated-psum vs vertex-sharded
+        # per map from the plan's comm volumes (parallel/sharded_lattice.py).
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.last_crf_variant: Optional[str] = None  # observability + tests
         self._m_bucket = 1 << 14  # vertex-count bucket, grows on overflow
         self._m_checked = set()  # cloud sizes whose bucket was validated
         self._pending_m = []  # (bucket, device vertex-count) to drain async
@@ -406,17 +414,21 @@ class LocalMapPipeline:
             packed_dev,
         )
 
-    def _drain_overflow_flags(self) -> None:
+    def _drain_overflow_flags(self, blocking: bool = False) -> None:
         """Inspect completed vertex counts without blocking the hot path.
 
         A sync-free map whose vertex count overflowed its bucket was
         poisoned to Unknown on device; here the host finally observes the
         count (once its dispatch is done), logs it, grows the bucket, and
-        invalidates the per-size cache so subsequent maps recover."""
+        invalidates the per-size cache so subsequent maps recover.
+
+        ``blocking=True`` materializes every pending count (used by
+        :meth:`flush` so an overflow on the FINAL map of a session is
+        still observed)."""
         still_pending = []
         overflow_max = 0
         for bucket, count_dev in self._pending_m:
-            if not count_dev.is_ready():
+            if not blocking and not count_dev.is_ready():
                 still_pending.append((bucket, count_dev))
                 continue
             count = int(count_dev)
@@ -434,6 +446,22 @@ class LocalMapPipeline:
                 self._m_bucket,
             )
 
+    def flush(self) -> None:
+        """Block on all pending overflow probes and apply their handling.
+
+        Without this, an overflow on the last map of a session is never
+        observed (``_pending_m`` only drains on a subsequent call): its
+        labels are silently all-Unknown with no warning and no bucket
+        growth recorded. Call at session end / checkpoint boundaries."""
+        self._drain_overflow_flags(blocking=True)
+
+    def __del__(self):  # pragma: no cover - interpreter-shutdown timing
+        try:
+            if getattr(self, "_pending_m", None):
+                self.flush()
+        except Exception:
+            pass  # device/backend may already be torn down
+
     def label_map(
         self,
         cloud_points: np.ndarray,  # [N, 3]
@@ -447,6 +475,10 @@ class LocalMapPipeline:
         if self.crf.use_dense_crf:
             if cloud_rgb is None:
                 raise ValueError("dense CRF smoothing needs cloud RGB")
+            if self.mesh is not None:
+                return self._label_map_sharded(
+                    cloud_points, cloud_rgb, unaries, as_numpy
+                )
             if self.use_device_lattice:
                 # ON-DEVICE lattice build: only the [N, 6] features cross
                 # the host link (~0.7 MB) instead of the built lattice
@@ -537,6 +569,67 @@ class LocalMapPipeline:
                 result.append(
                     np.asarray(lbl).astype(np.uint8) if as_numpy else lbl
                 )
+        return result
+
+    def _label_map_sharded(
+        self,
+        cloud_points: np.ndarray,
+        cloud_rgb: np.ndarray,
+        unaries: Sequence[jnp.ndarray],
+        as_numpy: bool,
+    ) -> List[np.ndarray]:
+        """Multi-chip CRF smoothing over ``self.mesh`` (SURVEY §5 scale-out).
+
+        The lattice is host-built at map load; the sharding VARIANT is then
+        chosen from the plan's comm volumes — replicated [C, M+1] psum for
+        low-locality/small-M maps, vertex-sharded halo exchange once the
+        boundary terms undercut the volume term (SCALING.md crossover). The
+        chosen variant is recorded in ``last_crf_variant``.
+        """
+        from ..parallel.sharded_lattice import (
+            auto_sharded_potts_mean_field,
+            plan_sharded_lattice,
+        )
+
+        feats = np.concatenate(
+            [
+                np.asarray(cloud_points, np.float32) * self.crf.xyz_kernel,
+                np.asarray(cloud_rgb, np.float32) * self.crf.rgb_kernel,
+            ],
+            axis=1,
+        )  # [N, 6] (segmenter.cpp:629-637)
+        lattice = build_lattice(feats)
+        plan = plan_sharded_lattice(lattice, self.mesh.shape[self.mesh_axis])
+        energies = -np.concatenate(
+            [np.asarray(u, np.float32) for u in unaries], axis=1
+        )  # crf.setUnaryEnergy(-unaries), segmenter.cpp:642
+        q, variant = auto_sharded_potts_mean_field(
+            self.mesh,
+            self.mesh_axis,
+            energies,
+            lattice,
+            float(self.crf.kernel_weight),
+            tuple(self.class_counts),
+            int(self.crf.iterations),
+            plan=plan,
+        )
+        self.last_crf_variant = variant
+        logging.info(
+            "sharded map CRF: variant=%s (halo %d vs psum %d values/filter)",
+            variant, plan.comms_per_filter, plan.replicated_comms_per_filter,
+        )
+        result: List[np.ndarray] = []
+        start = 0
+        for c, unk in zip(self.class_counts, self.unknown_labels):
+            ql = q[:, start : start + c]
+            start += c
+            # Confidence floor 2/C, default Unknown (segmenter.cpp:645-657).
+            lbl = np.where(
+                ql.max(axis=1) > 2.0 / c, ql.argmax(axis=1), unk
+            ).astype(np.int32)
+            result.append(
+                lbl.astype(np.uint8) if as_numpy else jnp.asarray(lbl)
+            )
         return result
 
     def run(

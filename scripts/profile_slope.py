@@ -213,13 +213,21 @@ def main():
         slope("leaf-hist sum", st_hist, leaves_b, pp.leaf_hist)
         slope("resize+argmax", st_resize_b, post_b)
     else:
-        slope("lab+pad", st_lab, rgb)
-        slope("patches_pallas", st_patches, lab0, dgrid)
-        slope("backproject+normals", st_normals, depth)
-        slope("descent", st_descent, feats, pp.meta, pp.thresholds,
-              pp.level_offsets, pp.level_chunks)
-        slope("leaf-hist sum", st_hist, leaves, pp.leaf_hist)
-        slope("resize+argmax", st_resize, post)
+        results = {}
+        results["lab+pad"] = slope("lab+pad", st_lab, rgb)
+        results["patches_pallas"] = slope("patches_pallas", st_patches, lab0, dgrid)
+        results["backproject+normals"] = slope(
+            "backproject+normals", st_normals, depth
+        )
+        results["descent"] = slope(
+            "descent", st_descent, feats, pp.meta, pp.thresholds,
+            pp.level_offsets, pp.level_chunks,
+        )
+        results["leaf-hist sum"] = slope("leaf-hist sum", st_hist, leaves,
+                                         pp.leaf_hist)
+        results["resize+argmax"] = slope("resize+argmax", st_resize, post)
+        return results
+    return None
 
 
 if __name__ == "__main__":

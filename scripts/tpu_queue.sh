@@ -19,10 +19,15 @@ until probe; do
 done
 echo "$(date) TPU UP: $(cat /tmp/tpuq/probe.log | tail -1)" >> /tmp/tpuq/queue.log
 
+# NO hard `timeout` around the steps: SIGTERM/SIGKILLing a TPU client
+# whose remote compile is in flight wedges the tunnel for hours (see
+# ROADMAP.md). Each step bounds its own work (fixed epoch/iteration
+# counts) and honors TPUQ_DEADLINE_S cooperatively where supported; a
+# stuck step is left to finish or be dealt with by hand.
 run() {
-    name=$1; tmo=$2; shift 2
+    name=$1; ddl=$2; shift 2
     echo "$(date) START $name" >> /tmp/tpuq/queue.log
-    timeout "$tmo" "$@" > "/tmp/tpuq/$name.log" 2>&1
+    TPUQ_DEADLINE_S="$ddl" "$@" > "/tmp/tpuq/$name.log" 2>&1
     echo "$(date) END $name rc=$?" >> /tmp/tpuq/queue.log
 }
 

