@@ -499,6 +499,76 @@ def grow_tree_device(
     return sf, th, lc, dep, nn, f_count, depth
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "f_pad", "cap", "max_depth", "k", "num_classes", "num_layers",
+    ),
+)
+def grow_forest_device(
+    x_full: jnp.ndarray,  # [N, D] full dataset (device-resident)
+    labels_full: jnp.ndarray,  # [N, L] int32
+    idx: jnp.ndarray,  # [T, Ns] bootstrap indices per tree
+    seeds: jnp.ndarray,  # [T] uint32 device rng streams
+    min_split: jnp.ndarray,
+    min_child: jnp.ndarray,
+    class_weights: jnp.ndarray,  # [T, C] per-tree entropy weights
+    f_pad: int,
+    cap: int,
+    max_depth: int,
+    k: int,
+    num_classes: int,
+    num_layers: int,
+):
+    """ALL trees' growth in ONE dispatch — the single-chip analogue of the
+    reference's OpenMP-over-trees loop (learning.cpp:1031-1113).
+
+    ``vmap`` over :func:`grow_tree_device`: per-tree bootstrap gathers run
+    inside the dispatch, the level ``while_loop`` becomes one loop of
+    ``max_t levels_t`` iterations carrying every tree's (batched) level
+    work, instead of ``sum_t levels_t`` sequential levels across T
+    dispatches — and the per-tree host syncs disappear. Per-tree streams
+    are BIT-IDENTICAL to :func:`grow_tree_device` run tree-by-tree at the
+    same (seed, f_pad): the rng depends only on those, so the fused and
+    sequential paths grow the same trees (asserted in
+    tests/test_trainer.py).
+    """
+
+    def one_tree(idx_t, seed_t, cw_t):
+        return grow_tree_device(
+            jnp.take(x_full, idx_t, axis=0),
+            jnp.take(labels_full, idx_t, axis=0),
+            seed_t, min_split, min_child, cw_t,
+            f_pad=f_pad, cap=cap, max_depth=max_depth, k=k,
+            num_classes=num_classes, num_layers=num_layers,
+        )
+
+    return jax.vmap(one_tree)(idx, seeds, class_weights)
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "num_classes", "max_depth"))
+def forest_refit_device(
+    x: jnp.ndarray,  # [N, D] FULL dataset
+    labels: jnp.ndarray,  # [N, L] int32
+    freqs: jnp.ndarray,  # [L, C]
+    split_feature: jnp.ndarray,  # [T, num_nodes]
+    threshold: jnp.ndarray,  # [T, num_nodes]
+    left_child: jnp.ndarray,  # [T, num_nodes]
+    num_nodes: int,
+    num_classes: int,
+    max_depth: int,
+) -> jnp.ndarray:  # [T, num_nodes, L, C]
+    """Every tree's full-dataset leaf refit in ONE dispatch (vmapped
+    :func:`_leaf_histograms_all`; same per-tree numbers)."""
+    return jax.vmap(
+        lambda sf, th, lc: _leaf_histograms_all(
+            x, labels, freqs, sf, th, lc,
+            num_nodes=num_nodes, num_classes=num_classes,
+            max_depth=max_depth,
+        )
+    )(split_feature, threshold, left_child)
+
+
 @partial(jax.jit, static_argnames=("num_segments", "num_classes", "num_layers"))
 def node_stats_step(
     seg: jnp.ndarray,  # [Ns]
@@ -599,20 +669,8 @@ def _grow_tree_on_device(
     # examples and partition <= ns of them, so the frontier never exceeds
     # 2 * ns / min_split; total nodes <= 2 * leaves <= 4 * ns / min_child
     # is loose, so cap starts at a pow2 estimate and grows on overflow.
-    def pow2(v):
-        return 1 << max(0, int(v - 1).bit_length())
-
-    # Frontier <= 2 * (#splitting nodes) <= 2 * ns / min_split, and also
-    # <= 2^depth; both clamped to pow2(ns).
-    depth_cap = 1 << min(cfg.max_depth + 1, 24)
-    f_pad = min(
-        pow2(2 * ns // max(cfg.min_split_examples, 1) + 1),
-        pow2(ns),
-        depth_cap,
-    )
-    f_pad = max(64, f_pad)
-    cap = max(256, min(pow2(2 * ns), pow2(4 * (2 ** min(cfg.max_depth, 26)))))
-    cap = min(cap, pow2(16 * ns))
+    # (Shared with the fused-forest path: the rng streams depend on f_pad.)
+    f_pad, cap = _forest_buckets(ns, cfg)
 
     while True:
         sf, th, lc, dep, nn, f_count, _ = grow_tree_device(
@@ -632,6 +690,111 @@ def _grow_tree_on_device(
             cap *= 4
             continue
         return _DeviceTreeResult(sf, th, lc, dep, nn_i)
+
+
+def _forest_buckets(ns: int, cfg: "TrainerConfig") -> Tuple[int, int]:
+    """(f_pad, cap) static buckets for device growth — ONE formula shared
+    by the per-tree and fused-forest paths so their rng streams (which
+    depend on f_pad) stay bit-identical."""
+
+    def pow2(v):
+        return 1 << max(0, int(v - 1).bit_length())
+
+    depth_cap = 1 << min(cfg.max_depth + 1, 24)
+    f_pad = min(
+        pow2(2 * ns // max(cfg.min_split_examples, 1) + 1),
+        pow2(ns),
+        depth_cap,
+    )
+    f_pad = max(64, f_pad)
+    cap = max(256, min(pow2(2 * ns), pow2(4 * (2 ** min(cfg.max_depth, 26)))))
+    cap = min(cap, pow2(16 * ns))
+    return f_pad, cap
+
+
+def _grow_forest_fused(
+    x_full: jnp.ndarray,  # [N, D]
+    labels: np.ndarray,  # [N, L] host
+    labels_dev: jnp.ndarray,  # [N, L] int32 device
+    freqs_dev: jnp.ndarray,  # [L, c_max]
+    cfg: "TrainerConfig",
+    num_classes: int,
+    tree_ids: Sequence[int],  # global tree indices (seed streams)
+    n_bootstrap: int,
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """All trees in two dispatches (growth + refit); returns per-tree
+    (split_feature, threshold, left_child, depth, raw_hist [nn, L, C]).
+
+    Host side: per-tree bootstrap index/seed draws (the same rng order as
+    the per-tree path: idx, then seed), one small [T] sync for the
+    overflow check, a device-side table slice to the pow2 of the LARGEST
+    tree, and one download per table.
+    """
+    n, d = x_full.shape
+    num_layers = labels.shape[1]
+    # No bootstrap = the full dataset per tree (the per-tree path's
+    # semantics), regardless of num_bootstrap_examples.
+    ns = n_bootstrap if cfg.use_bootstrap else n
+    k = cfg.num_features or int(math.ceil(math.sqrt(d)))
+
+    idx_np = np.zeros((len(tree_ids), ns), np.int32)
+    seeds_np = np.zeros(len(tree_ids), np.uint32)
+    cw_np = np.zeros((len(tree_ids), num_classes), np.float32)
+    for i, t in enumerate(tree_ids):
+        rng = np.random.default_rng((cfg.seed, t))
+        if cfg.use_bootstrap:
+            idx_np[i] = rng.integers(0, n, size=ns)
+        else:
+            idx_np[i] = np.arange(n)
+        cw_np[i] = _tree_class_weights(cfg, labels[idx_np[i]], ns, num_classes)
+        seeds_np[i] = np.uint32(rng.integers(0, 2**32, dtype=np.uint64))
+
+    f_pad, cap = _forest_buckets(ns, cfg)
+    idx_dev = jnp.asarray(idx_np)
+    seeds_dev = jnp.asarray(seeds_np)
+    cw_dev = jnp.asarray(cw_np)
+    while True:
+        sf, th, lc, dep, nn, fc, _ = grow_forest_device(
+            x_full, labels_dev, idx_dev, seeds_dev,
+            jnp.float32(cfg.min_split_examples),
+            jnp.float32(cfg.min_child_split_examples),
+            cw_dev,
+            f_pad=f_pad, cap=cap, max_depth=cfg.max_depth, k=k,
+            num_classes=num_classes, num_layers=num_layers,
+        )
+        nn_np = np.asarray(nn)  # the growth's ONE host sync ([T] + [T])
+        fc_np = np.asarray(fc)
+        if (fc_np > f_pad).any():
+            f_pad *= 4
+            continue
+        if (nn_np + 2 * fc_np > cap).any():
+            cap *= 4
+            continue
+        break
+
+    # Refit once for every tree at the pow2 bucket of the largest tree;
+    # rows past a tree's own nn are untouched zeros (sliced off below).
+    nn_b = max(256, 1 << int(int(nn_np.max()) - 1).bit_length())
+    md_b = -(-max(cfg.max_depth, 1) // 8) * 8
+    sf_s, th_s, lc_s = sf[:, :nn_b], th[:, :nn_b], lc[:, :nn_b]
+    raw_all = np.asarray(
+        forest_refit_device(
+            x_full, labels_dev, freqs_dev, sf_s, th_s, lc_s,
+            num_nodes=nn_b, num_classes=num_classes, max_depth=md_b,
+        )
+    )
+    sf_np = np.asarray(sf_s)
+    th_np = np.asarray(th_s)
+    lc_np = np.asarray(lc_s)
+    dep_np = np.asarray(dep[:, :nn_b])
+    out = []
+    for i in range(len(tree_ids)):
+        m = int(nn_np[i])
+        out.append(
+            (sf_np[i, :m], th_np[i, :m], lc_np[i, :m], dep_np[i, :m],
+             raw_all[i, :m])
+        )
+    return out
 
 
 class _TreeBuilder:
@@ -814,6 +977,25 @@ def _inverted_class_frequency(labels: np.ndarray, c: int) -> np.ndarray:
     )
 
 
+def _smooth_histograms(
+    raw_all: np.ndarray,  # [nn, L, c_max] weighted counts
+    left_child: np.ndarray,  # [nn]
+    class_counts: Sequence[int],
+    smoothing: float,
+) -> np.ndarray:
+    """Log smoothing per layer (updateMultiHistograms, learning.cpp:997);
+    inner nodes zeroed (no histograms)."""
+    nn, num_layers, c_max = raw_all.shape
+    hist = np.zeros((nn, num_layers, c_max), np.float32)
+    for l in range(num_layers):
+        c = class_counts[l]
+        raw = raw_all[:, l, :c]
+        total = raw.sum(axis=1, keepdims=True)
+        hist[:, l, :c] = np.log((raw + smoothing) / (total + c * smoothing))
+    hist *= (left_child == 0)[:, None, None]
+    return hist
+
+
 # ======================================================================
 # Public API
 # ======================================================================
@@ -882,6 +1064,39 @@ class ForestTrainer:
                 labels[:, l].astype(np.int64), class_counts[l]
             )
         freqs_dev = jnp.asarray(freqs_np)
+
+        # Fused-forest path: every tree grown in ONE dispatch + refit in
+        # one more (grow_forest_device) — the single-chip OpenMP-over-
+        # trees analogue. Per-tree checkpointing needs the tree loop, so
+        # checkpoint_path keeps the per-tree path.
+        if cfg.device_growth and checkpoint_path is None and start_tree < cfg.num_trees:
+            t0 = time.perf_counter()
+            results = _grow_forest_fused(
+                x_full, labels, labels_dev, freqs_dev, cfg, c_max,
+                [t + _tree_offset for t in range(start_tree, cfg.num_trees)],
+                n_bootstrap,
+            )
+            for i, (sf_t, th_t, lc_t, dep_t, raw_t) in enumerate(results):
+                trees.append(
+                    TreeArrays(
+                        split_feature=sf_t,
+                        threshold=th_t,
+                        left_child=lc_t,
+                        leaf_hist=_smooth_histograms(
+                            raw_t, lc_t, class_counts, cfg.smoothing
+                        ),
+                    )
+                )
+                if progress:
+                    log.info(
+                        "Finished tree %d/%d: %d nodes, depth %d "
+                        "(fused forest, %.1fs total)",
+                        start_tree + i + 1, cfg.num_trees, len(sf_t),
+                        int(dep_t.max()) if len(dep_t) else 0,
+                        time.perf_counter() - t0,
+                    )
+            return build_forest(trees, class_counts, multi_label=multi_label)
+
         for t in range(start_tree, cfg.num_trees):
             start = time.perf_counter()
             # Deterministic per-tree stream: resume-safe and shardable
@@ -920,18 +1135,10 @@ class ForestTrainer:
                     num_nodes=nn_b, num_classes=c_max, max_depth=md_b,
                 )
             )[:nn]
-            hist = np.zeros((nn, num_layers, c_max), np.float32)
-            for l in range(num_layers):
-                c = class_counts[l]
-                raw = raw_all[:, l, :c]
-                total = raw.sum(axis=1, keepdims=True)
-                smoothed = np.log(
-                    (raw + cfg.smoothing) / (total + c * cfg.smoothing)
-                )
-                hist[:, l, :c] = smoothed
-            # Zero non-leaf rows (inner nodes have no histograms).
-            leaf_mask = np.asarray(builder.left_child) == 0
-            hist *= leaf_mask[:, None, None]
+            hist = _smooth_histograms(
+                raw_all, np.asarray(builder.left_child), class_counts,
+                cfg.smoothing,
+            )
 
             trees.append(
                 TreeArrays(

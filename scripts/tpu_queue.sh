@@ -31,10 +31,12 @@ run() {
     echo "$(date) END $name rc=$?" >> /tmp/tpuq/queue.log
 }
 
-run bench 5400 python bench.py
-run bench_train 3600 python scripts/bench_train.py 100000 2
+# Round-4 plan (VERDICT r3 "Next round" items, in leverage order):
 run exp_descent 5400 python scripts/exp_descent.py bench
-run profile_normals 3600 python scripts/profile_normals.py
-run exp_patches 5400 python scripts/exp_patches.py bench
+run bench 5400 python bench.py
+run bench_transpose 5400 env ROVINA_DESCENT_TRANSPOSE=1 python bench.py
+run bench_train 3600 python scripts/bench_train.py 100000 2
+run dense_inf 1800 python scripts/bench_dense_inference.py
+run tpu_smoke 3600 env ROVINA_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -m tpu -q
 run slope_b5 3600 env BATCH=5 python scripts/profile_slope.py
 echo "$(date) ALL DONE" >> /tmp/tpuq/queue.log

@@ -354,6 +354,31 @@ class TestDeviceGrowth:
         split_nodes = lc != 0
         assert (full[split_nodes] >= cfg.min_split_examples).all()
 
+    def test_fused_forest_matches_per_tree_device_growth(self, data, tmp_path):
+        """The one-dispatch fused forest (grow_forest_device) must grow
+        BIT-IDENTICAL trees to the per-tree device path: the rng streams
+        depend only on (seed, f_pad), which the two paths share. The
+        per-tree path is reached through its public surface (per-tree
+        checkpointing forces the tree loop)."""
+        x, y = data
+        cfg = TrainerConfig(
+            num_trees=3, max_depth=7, min_split_examples=15, seed=9,
+            device_growth=True,
+        )
+        fused = ForestTrainer(cfg).learn(
+            x, y, class_counts=[4], multi_label=False, progress=False
+        )
+        per_tree = ForestTrainer(cfg).learn(
+            x, y, class_counts=[4], multi_label=False, progress=False,
+            checkpoint_path=str(tmp_path / "ckpt.npz"),
+        )
+        for t in range(cfg.num_trees):
+            a, b = fused.tree_view(t), per_tree.tree_view(t)
+            np.testing.assert_array_equal(a.split_feature, b.split_feature)
+            np.testing.assert_array_equal(a.left_child, b.left_child)
+            np.testing.assert_allclose(a.threshold, b.threshold, rtol=1e-7)
+            np.testing.assert_allclose(a.leaf_hist, b.leaf_hist, rtol=1e-5)
+
     def test_overflow_flag_reports_and_retry_matches(self, data):
         from rovinasemanticsegmentation_tpu.train.forest_trainer import (
             grow_tree_device,
