@@ -290,6 +290,82 @@ def _run_bench() -> None:
             depth > 0, (depth + e.astype(jnp.uint16)), 0
         )
 
+    def run_epochs_streaming(batch: int, n_epochs: int):
+        """kf/s per epoch with the ONE-DISPATCH streaming step.
+
+        Frame batch + that batch's maps ride a single execute
+        (pipelines/streaming.py): on one chip the reference's two-worker
+        overlap (segmenter.cpp:227-232) has no concurrency to win — it
+        just interleaves RPCs on one serial device queue — so the
+        keyframe->map handoff becomes a graph edge instead of a thread
+        handoff. Map cadence stays one map per MAP_EVERY keyframes (the
+        reference cost model).
+        """
+        from rovinasemanticsegmentation_tpu.pipelines.streaming import (
+            StreamingPipeline,
+            pack_poses,
+        )
+
+        rgb_stacks, depth_stacks, kinv, rot, trans = stacks_for(batch)
+        n_batches = len(rgb_stacks)
+        maps_per_batch = batch // MAP_EVERY
+        n_maps = n_batches * maps_per_batch
+        clouds_b = [
+            jnp.asarray(
+                np.stack(
+                    [
+                        cloud_pts + 0.001 * (b * maps_per_batch + m)
+                        for m in range(maps_per_batch)
+                    ]
+                )
+            )
+            for b in range(n_batches)
+        ]
+        cloud_rgb_dev = jnp.asarray(cloud_rgb)
+        poses = pack_poses(projector, [np.eye(4)] * MAP_EVERY)
+        poses_dev = jnp.asarray(
+            np.stack([poses] * maps_per_batch).astype(np.float32)
+        )
+
+        # Validate the vertex bucket through the split path once, then
+        # warm the streaming executable.
+        warm = pipeline.run_batch_stacked(
+            rgb_stacks[0], depth_stacks[0], kinv, rot, trans
+        )
+        warm_nodes = [
+            MapNodeFrames(pose=np.eye(4), posteriors=[list(r.posteriors)])
+            for r in warm[:MAP_EVERY]
+        ]
+        jax.block_until_ready(
+            map_pipeline.run_device(clouds_b[0][0], cloud_rgb_dev, warm_nodes)
+        )
+        stream = StreamingPipeline(pipeline, map_pipeline, MAP_EVERY)
+        fl, ml = stream.run_staged(
+            rgb_stacks[0], depth_stacks[0], kinv, rot, trans,
+            clouds_b[0], cloud_rgb_dev, poses_dev,
+        )
+        np.asarray(jnp.concatenate([l.astype(jnp.int32) for m in ml for l in m]))
+
+        rates = []
+        for epoch in range(n_epochs):
+            start = time.perf_counter()
+            e = jnp.int32(epoch * 23 + 5)
+            all_map_labels = []
+            for b in range(n_batches):
+                rgb_b, depth_b = perturb(rgb_stacks[b], depth_stacks[b], e + b)
+                _, ml = stream.run_staged(
+                    rgb_b, depth_b, kinv, rot, trans,
+                    clouds_b[b], cloud_rgb_dev, poses_dev,
+                )
+                all_map_labels.extend(l for m in ml for l in m)
+            np.asarray(
+                jnp.concatenate(
+                    [l.astype(jnp.int32) for l in all_map_labels]
+                )
+            )
+            rates.append(N_KEYFRAMES / (time.perf_counter() - start))
+        return rates
+
     def run_epochs(batch: int, n_epochs: int):
         """kf/s per epoch at `batch` keyframes per dispatch.
 
@@ -367,19 +443,31 @@ def _run_bench() -> None:
         fusion_worker.shutdown()
         return rates
 
-    # Batch-size sweep: every size gets two probing epochs; the best batch
-    # gets the full epoch count for the headline number. The probe's max
-    # is NOT mixed into the epoch list — `best` may come from it, but
-    # `median` is the median of raw full-run epochs only (mixing a max
-    # into the sample biases the median toward the best case on this
-    # bimodal tunnel).
+    # Batch-size sweep over BOTH modes (two-worker interleave vs the
+    # one-dispatch streaming step): every (mode, size) gets two probing
+    # epochs; the best combination gets the full epoch count for the
+    # headline number. The probe's max is NOT mixed into the epoch list —
+    # `best` may come from it, but `median` is the median of raw full-run
+    # epochs only (mixing a max into the sample biases the median toward
+    # the best case on this bimodal tunnel).
     curve = {}
     for b in BATCH_SIZES:
-        curve[b] = max(run_epochs(b, 2))
-        print(f"batch {b}: {curve[b]:.2f} kf/s", file=sys.stderr)
-    best_batch = max(curve, key=curve.get)
-    rates = sorted(run_epochs(best_batch, N_EPOCHS))
-    best = max(rates[-1], curve[best_batch])
+        curve[("workers", b)] = max(run_epochs(b, 2))
+        print(f"workers batch {b}: {curve[('workers', b)]:.2f} kf/s",
+              file=sys.stderr)
+    for b in BATCH_SIZES:
+        try:
+            curve[("stream", b)] = max(run_epochs_streaming(b, 2))
+            print(f"stream  batch {b}: {curve[('stream', b)]:.2f} kf/s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - a mode failure must not
+            # lose the capture; the worker mode still carries the bench.
+            print(f"stream batch {b} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    best_mode, best_batch = max(curve, key=curve.get)
+    runner = run_epochs if best_mode == "workers" else run_epochs_streaming
+    rates = sorted(runner(best_batch, N_EPOCHS))
+    best = max(rates[-1], curve[(best_mode, best_batch)])
     median = rates[len(rates) // 2]
 
     # Coarse stage split (frame path vs map path), measured with the
@@ -417,7 +505,10 @@ def _run_bench() -> None:
         "median": round(median, 3),
         "epochs": [round(r, 3) for r in rates],
         "batch": best_batch,
-        "batch_curve": {str(k): round(v, 3) for k, v in curve.items()},
+        "mode": best_mode,
+        "batch_curve": {
+            f"{m}:{b}": round(v, 3) for (m, b), v in curve.items()
+        },
         "stages": {
             "frame_path_ms_per_kf": round(frame_ms, 2),
             "map_path_ms_per_map": round(map_ms, 2),

@@ -434,6 +434,106 @@ class TestFusedLayers:
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
 
+class TestStreamingPipeline:
+    @pytest.mark.slow
+    def test_one_dispatch_matches_separate_paths(self):
+        """The fused streaming step (frame batch + maps in ONE dispatch)
+        must reproduce the separate frame-batch and map-dispatch paths
+        exactly — the fusion is a graph restructure, not a math change."""
+        from rovinasemanticsegmentation_tpu.features.extractor import (
+            FeatureConfig,
+        )
+        from rovinasemanticsegmentation_tpu.models.forest import random_forest
+        from rovinasemanticsegmentation_tpu.pipelines.single_frame import (
+            SingleFramePipeline,
+        )
+        from rovinasemanticsegmentation_tpu.pipelines.streaming import (
+            StreamingPipeline,
+            pack_poses,
+        )
+        from rovinasemanticsegmentation_tpu.utils.calibration import (
+            Calibration,
+        )
+
+        rng = np.random.default_rng(2)
+        h, w, n = 32, 40, 70
+        map_every, batch = 2, 4
+        calib = Calibration(
+            intrinsic=np.array(
+                [[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]]
+            ),
+            rotation=np.eye(3),
+            translation=np.zeros(3),
+        )
+        proj = MultiProjector.from_calibrations(
+            [calib], h, w, min_distance=0.5, max_distance=15.0
+        )
+        forest = random_forest(
+            rng, num_trees=2, depth=7, num_features=366,
+            class_counts=[3, 4], max_nodes=201,
+        )
+        fp = SingleFramePipeline(
+            FeatureConfig(), forest, stride=2, fill_value=0.0,
+            use_pallas=True,
+        )
+        mp = LocalMapPipeline(
+            proj, [3, 4], [2, 3],
+            crf=CrfParams(use_dense_crf=True, iterations=3),
+        )
+        rgbs = np.stack([
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(batch)
+        ])
+        depths = np.stack([
+            rng.integers(600, 9000, (h, w)).astype(np.uint16)
+            for _ in range(batch)
+        ])
+        kinv = np.tile(
+            calib.intrinsic_inverse[None], (batch, 1, 1)
+        ).astype(np.float32)
+        rot = np.tile(np.eye(3, dtype=np.float32)[None], (batch, 1, 1))
+        trans = np.zeros((batch, 3), np.float32)
+        pts = np.stack(
+            [
+                rng.uniform(-0.3, 0.3, n),
+                rng.uniform(-0.25, 0.25, n),
+                rng.uniform(1.5, 2.5, n),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        clouds = np.stack([pts, pts + 0.01])
+        crgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+        # Separate paths: frame batch, then maps via run_device (the first
+        # map validates the vertex bucket — streaming requires that).
+        results = fp.run_batch_stacked(rgbs, depths, kinv, rot, trans)
+        want_maps = []
+        for m in range(batch // map_every):
+            nodes = [
+                MapNodeFrames(
+                    pose=np.eye(4), posteriors=[list(r.posteriors)]
+                )
+                for r in results[m * map_every : (m + 1) * map_every]
+            ]
+            want_maps.append(
+                [np.asarray(l) for l in mp.run_device(clouds[m], crgb, nodes)]
+            )
+        assert n in mp._m_checked
+
+        stream = StreamingPipeline(fp, mp, map_every)
+        poses = pack_poses(proj, [np.eye(4)] * map_every)
+        frame_labels, map_labels = stream.run_staged(
+            rgbs, depths, kinv, rot, trans, clouds, crgb,
+            np.stack([poses] * (batch // map_every)),
+        )
+        for i, r in enumerate(results):
+            for a, b in zip(frame_labels[i], r.labels):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for m in range(batch // map_every):
+            for a, b in zip(map_labels[m], want_maps[m]):
+                np.testing.assert_array_equal(np.asarray(a), b)
+
+
 class TestFusedMapDispatch:
     @pytest.mark.slow
     def test_fused_steady_state_matches_split_path(self):
