@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .patches_scan import _tap_tables
 
 LANES = 128
-ROWS_PER_PROGRAM = 8
+ROWS_PER_PROGRAM = 8  # default grid rows per program (see rows_per_program)
 
 
 def _kernel(
@@ -66,9 +66,10 @@ def _kernel(
     r_size: int,
     wins: int,
     wl: int,
+    rows: int,
 ):
     prog = pl.program_id(0)
-    r0 = prog * ROWS_PER_PROGRAM
+    r0 = prog * rows
 
     copy = pltpu.make_async_copy(
         img_ref.at[:, pl.ds(r0, wins)], region_ref, sem
@@ -97,7 +98,7 @@ def _kernel(
                     ph = oy % stride
                     base = oy // stride
                     # [8, s(colphase), WL]
-                    return region_ref[ph, pl.ds(base, ROWS_PER_PROGRAM), :, :]
+                    return region_ref[ph, pl.ds(base, rows), :, :]
 
                 rows0 = tap_rows(oy0)
                 rows1 = tap_rows(oy1)
@@ -137,7 +138,8 @@ def _kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("patch_size", "reduce_size", "stride", "interpret"),
+    static_argnames=("patch_size", "reduce_size", "stride", "interpret",
+                     "rows_per_program"),
 )
 def extract_patches_pallas(
     padded_lab: jnp.ndarray,  # [Hp, Wp, 3] uint8
@@ -146,8 +148,10 @@ def extract_patches_pallas(
     reduce_size: int,
     stride: int,
     interpret: bool = False,
+    rows_per_program: int = ROWS_PER_PROGRAM,
 ) -> jnp.ndarray:  # [gh, gw, R, R, 3] uint8
     interpret = interpret or jax.default_backend() != "tpu"
+    rp = rows_per_program
     b = patch_size
     r = reduce_size
     nh = b + 1
@@ -163,8 +167,8 @@ def extract_patches_pallas(
     img = padded_lab.astype(jnp.int32)
     packed = img[..., 0] | (img[..., 1] << 8) | (img[..., 2] << 16)
 
-    wins = ROWS_PER_PROGRAM + (2 * b) // s + 1
-    gh_pad = -(-gh // ROWS_PER_PROGRAM) * ROWS_PER_PROGRAM
+    wins = rp + (2 * b) // s + 1
+    gh_pad = -(-gh // rp) * rp
     hph = gh_pad + wins  # phased rows needed
     cols_per_phase = -(-padded_lab.shape[1] // s)
     wl = -(-cols_per_phase // LANES) * LANES
@@ -188,8 +192,8 @@ def extract_patches_pallas(
     )
 
     # Per-block h presence.
-    blocks = gh_pad // ROWS_PER_PROGRAM
-    half_blocks = half_pad.reshape(blocks, ROWS_PER_PROGRAM * wl)
+    blocks = gh_pad // rp
+    half_blocks = half_pad.reshape(blocks, rp * wl)
     onehot = jax.nn.one_hot(
         jnp.clip(half_blocks, 0, nh - 1), nh, dtype=jnp.int32
     ) * (half_blocks >= 0)[..., None]
@@ -206,6 +210,7 @@ def extract_patches_pallas(
             r_size=r,
             wins=wins,
             wl=wl,
+            rows=rp,
         ),
         grid=(blocks,),
         in_specs=[
@@ -215,19 +220,19 @@ def extract_patches_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (ROWS_PER_PROGRAM, wl), lambda i: (i, 0),
+                (rp, wl), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (kc, r, ROWS_PER_PROGRAM, wl), lambda i: (0, 0, i, 0),
+            (kc, r, rp, wl), lambda i: (0, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((kc, r, gh_pad, wl), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((s, wins, s, wl), jnp.int32),
-            pltpu.VMEM((s, 3, r, ROWS_PER_PROGRAM, wl), jnp.int32),
+            pltpu.VMEM((s, 3, r, rp, wl), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

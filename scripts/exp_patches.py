@@ -263,6 +263,12 @@ def main():
         lab, d, patch_size=b, reduce_size=r, stride=s))
     slope("E rowstage3ch", lambda d: extract_patches_e(
         lab, d, patch_size=b, reduce_size=r, stride=s))
+    # Multi-row blocks (round-4 lead): fewer DMAs + wider column-stage ops
+    # per program, at the cost of a bigger VMEM footprint per block.
+    for rp in (16, 32):
+        slope(f"A rows={rp}", lambda d, rp=rp: extract_patches_pallas(
+            lab, d, patch_size=b, reduce_size=r, stride=s,
+            rows_per_program=rp))
 
 
 if __name__ == "__main__":

@@ -433,7 +433,7 @@ class TestPatchesPallasParity:
     """The Pallas block-local kernel (interpret mode on CPU) must be
     bit-exact with the dense-slice scan across strides and edge shapes."""
 
-    def _compare(self, b, r, s, h, w, seed):
+    def _compare(self, b, r, s, h, w, seed, rows_per_program=8):
         from rovinasemanticsegmentation_tpu.ops.patches_pallas import (
             extract_patches_pallas,
         )
@@ -450,6 +450,7 @@ class TestPatchesPallasParity:
             extract_patches_pallas(
                 jnp.asarray(lab), jnp.asarray(depth),
                 patch_size=b, reduce_size=r, stride=s, interpret=True,
+                rows_per_program=rows_per_program,
             )
         )
         want = np.asarray(
@@ -469,3 +470,9 @@ class TestPatchesPallasParity:
 
     def test_stride4_full_reduce(self):
         self._compare(11, 11, 4, 24, 40, 2)
+
+    @pytest.mark.parametrize("rp", [16, 32])
+    def test_multi_row_blocks(self, rp):
+        """Bigger row blocks (fewer DMAs, wider column-stage ops) must stay
+        bit-exact, including when gh is not a block multiple."""
+        self._compare(9, 5, 2, 70, 48, 3, rows_per_program=rp)
