@@ -115,19 +115,83 @@ def _chamfer_passes(d0: jnp.ndarray, big) -> jnp.ndarray:
     return jnp.moveaxis(out, 0, -2)
 
 
+def _chamfer_iter(change: jnp.ndarray, saturation: float) -> jnp.ndarray:
+    """Saturated chamfer by iterated 3x3 min-plus relaxation.
+
+    The consumer clamps ``smoothing = min(distance, s)`` and masks an
+    ``int(s)``-pixel border frame, so only values strictly below ``s`` at
+    pixels >= ceil(s) from every edge have to be exact. Any chamfer path
+    of cost < s takes at most ceil(s)-1 unit-or-diagonal steps (every step
+    costs >= 1.0), so ceil(s) rounds of the full 3x3 relaxation
+    ``d <- min(d, axial+1.0, diagonal+1.4)`` resolve all of them exactly;
+    everything else stays pinned at the initial value ``s`` (values only
+    decrease below s when a real shorter path exists). Columns 0 and w-1
+    are re-pinned to their seed every round — PCL's restricted passes
+    never relax them (they loop x in [1, w-2]), and their frozen values
+    feed the in-row chains, which the pinning reproduces — so the result
+    clamps identically to the sequential passes at EVERY column of every
+    row >= ceil(s) from the top/bottom edge (the banded variant's exact
+    contract, pinned by TestDistanceTransform).
+
+    Unlike the row-banded scan (72 sequential ~10-op steps + a cummin
+    chain per step for VGA) this is ceil(s) (= 10 for the config default)
+    dependent rounds of pure elementwise shifts/mins on the [H, W] image —
+    no ``lax.scan``, no band stacking, no in-row cummin.
+    """
+    h, w = change.shape
+    sat = jnp.float32(saturation)
+    seed = jnp.where(change, 0.0, sat).astype(jnp.float32)
+    edge_col = (jnp.arange(w) == 0) | (jnp.arange(w) == w - 1)
+
+    def shifted(a, dy, dx):
+        # Out-of-image neighbors contribute >= sat (never win after +cost).
+        out = jnp.roll(a, (dy, dx), (0, 1))
+        if dy:
+            row = 0 if dy > 0 else h - 1
+            out = out.at[row].set(sat)
+        if dx:
+            col = 0 if dx > 0 else w - 1
+            out = out.at[:, col].set(sat)
+        return out
+
+    d = seed
+    for _ in range(int(np.ceil(saturation))):
+        relaxed = jnp.minimum(
+            jnp.minimum(
+                jnp.minimum(shifted(d, 0, 1), shifted(d, 0, -1)),
+                jnp.minimum(shifted(d, 1, 0), shifted(d, -1, 0)),
+            )
+            + 1.0,
+            jnp.minimum(
+                jnp.minimum(shifted(d, 1, 1), shifted(d, 1, -1)),
+                jnp.minimum(shifted(d, -1, 1), shifted(d, -1, -1)),
+            )
+            + 1.4,
+        )
+        d = jnp.where(edge_col, seed, jnp.minimum(d, relaxed))
+    return d
+
+
 def chamfer_distance_map(
-    change: jnp.ndarray, saturation: Optional[float] = None
+    change: jnp.ndarray,
+    saturation: Optional[float] = None,
+    variant: str = "iter",
 ) -> jnp.ndarray:
     """PCL's two-pass chamfer (1.0/1.4) distance to the change pixels.
 
     With ``saturation=s`` the consumer only distinguishes values < s (PCL
-    clamps ``smoothing = min(distance, s)``), so the map is computed in
-    independent row BANDS with ``ceil(s)``-row halos: any chamfer path
-    crossing a halo costs > s and both values clamp identically. This
-    turns the 2x(H-1)-step row scan into ~2x(band+2*halo) steps over all
-    bands stacked on sublanes (478 -> 72 sequential steps for VGA) —
-    the scan's per-step overhead, not the vector work, dominates on TPU.
-    Saturated values outside the returned clamp and inside the halo-less
+    clamps ``smoothing = min(distance, s)``) outside an ``int(s)`` border
+    frame, which admits two fast formulations (``variant``):
+
+    - ``"iter"`` (default): ceil(s) rounds of 3x3 min-plus relaxation —
+      fully parallel, no scans (see :func:`_chamfer_iter`).
+    - ``"banded"``: independent row BANDS with ``ceil(s)``-row halos (any
+      chamfer path crossing a halo costs > s and both values clamp
+      identically), turning the 2x(H-1)-step row scan into
+      ~2x(band+2*halo) steps over all bands stacked on sublanes
+      (478 -> 72 sequential steps for VGA).
+
+    Either way, saturated values outside the clamp or inside the
     top/bottom image border may differ from the sequential passes; exact
     (unsaturated) callers get the full-height scan.
     """
@@ -136,6 +200,8 @@ def chamfer_distance_map(
     d0 = jnp.where(change, 0.0, big).astype(jnp.float32)
     if saturation is None:
         return _chamfer_passes(d0, big)
+    if variant == "iter":
+        return _chamfer_iter(change, saturation)
 
     halo = int(np.ceil(saturation))
     band = 16
@@ -192,27 +258,38 @@ def _box_sum_gather(integral: jnp.ndarray, y0, y1, x0, x1) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("max_depth_change_factor", "normal_smoothing_size"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_depth_change_factor", "normal_smoothing_size", "chamfer_variant"
+    ),
+)
 def normal_angles(
     points: jnp.ndarray,
     max_depth_change_factor: float = 0.02,
     normal_smoothing_size: float = 10.0,
+    chamfer_variant: str = "iter",
 ) -> jnp.ndarray:
     """Full-resolution angles [H, W] (see :func:`normal_angles_grid`)."""
     return _normal_angles_impl(
-        points, None, max_depth_change_factor, normal_smoothing_size
+        points, None, max_depth_change_factor, normal_smoothing_size,
+        chamfer_variant,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("stride", "max_depth_change_factor", "normal_smoothing_size"),
+    static_argnames=(
+        "stride", "max_depth_change_factor", "normal_smoothing_size",
+        "chamfer_variant",
+    ),
 )
 def normal_angles_grid(
     points: jnp.ndarray,  # [H, W, 3]
     stride: int,
     max_depth_change_factor: float = 0.02,
     normal_smoothing_size: float = 10.0,
+    chamfer_variant: str = "iter",
 ) -> jnp.ndarray:  # [ceil(H/s), ceil(W/s)]
     """Angles only at the stride-grid samples.
 
@@ -222,12 +299,14 @@ def normal_angles_grid(
     sums use the static-rect phase-split formulation (no gathers).
     """
     return _normal_angles_impl(
-        points, stride, max_depth_change_factor, normal_smoothing_size
+        points, stride, max_depth_change_factor, normal_smoothing_size,
+        chamfer_variant,
     )
 
 
 def _normal_angles_impl(
-    points, stride: Optional[int], max_depth_change_factor, normal_smoothing_size
+    points, stride: Optional[int], max_depth_change_factor,
+    normal_smoothing_size, chamfer_variant: str = "iter",
 ):
     h, w = points.shape[0], points.shape[1]
     z = points[..., 2]
@@ -261,6 +340,7 @@ def _normal_angles_impl(
     distance = chamfer_distance_map(
         change,
         saturation=normal_smoothing_size if integral_size else None,
+        variant=chamfer_variant,
     )
 
     border = int(normal_smoothing_size)

@@ -101,7 +101,13 @@ def main():
 
     def st_chamfer(i, ch):
         return nm.chamfer_distance_map(
-            ch ^ (jax.lax.rem(i, jnp.int32(7)) == 99), saturation=10.0)
+            ch ^ (jax.lax.rem(i, jnp.int32(7)) == 99), saturation=10.0,
+            variant="banded")
+
+    def st_chamfer_iter(i, ch):
+        return nm.chamfer_distance_map(
+            ch ^ (jax.lax.rem(i, jnp.int32(7)) == 99), saturation=10.0,
+            variant="iter")
 
     def st_grad_integral(i, p):
         pp = p + i.astype(jnp.float32) * 1e-6
@@ -117,13 +123,21 @@ def main():
 
     def st_all(i, p):
         return nm.normal_angles_grid(
-            p + i.astype(jnp.float32) * 1e-6, STRIDE)
+            p + i.astype(jnp.float32) * 1e-6, STRIDE,
+            chamfer_variant="banded")
+
+    def st_all_iter(i, p):
+        return nm.normal_angles_grid(
+            p + i.astype(jnp.float32) * 1e-6, STRIDE,
+            chamfer_variant="iter")
 
     slope("backproject", st_backproject, depth)
     slope("change map", st_change, pts)
     slope("banded chamfer", st_chamfer, change)
+    slope("iterated chamfer", st_chamfer_iter, change)
     slope("grads + integral stack", st_grad_integral, pts)
-    slope("normals (whole)", st_all, pts)
+    slope("normals (whole, banded)", st_all, pts)
+    slope("normals (whole, iter)", st_all_iter, pts)
 
 
 if __name__ == "__main__":

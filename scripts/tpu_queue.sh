@@ -38,6 +38,7 @@ run bench 5400 python bench.py
 run exp_descent 5400 python scripts/exp_descent.py bench
 run bench_transpose 5400 env ROVINA_DESCENT_TRANSPOSE=1 python bench.py
 run exp_patches 3600 python scripts/exp_patches.py bench
+run profile_normals 3600 python scripts/profile_normals.py
 run bench_train 3600 python scripts/bench_train.py 100000 2
 run dense_inf 1800 python scripts/bench_dense_inference.py
 run tpu_smoke 3600 env ROVINA_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -m tpu -q

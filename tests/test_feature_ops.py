@@ -183,10 +183,12 @@ class TestDistanceTransform:
             want = oracle_dt(mask)
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
-    def test_banded_saturated_matches_full(self):
-        """The row-banded saturated chamfer clamps identically to the full
+    @pytest.mark.parametrize("variant", ["banded", "iter"])
+    def test_saturated_matches_full(self, variant):
+        """Both saturated chamfer variants clamp identically to the full
         sequential passes wherever the value is consumed (outside the
-        top/bottom halo-less border; smoothing clamps at the saturation)."""
+        top/bottom border of ceil(sat) rows; smoothing clamps at the
+        saturation) — at EVERY column, including the never-relaxed 0/w-1."""
         from rovinasemanticsegmentation_tpu.ops.normals import (
             chamfer_distance_map,
         )
@@ -198,16 +200,44 @@ class TestDistanceTransform:
             full = np.minimum(
                 np.asarray(chamfer_distance_map(jnp.asarray(mask))), sat
             )
-            banded = np.minimum(
+            got = np.minimum(
                 np.asarray(
-                    chamfer_distance_map(jnp.asarray(mask), saturation=sat)
+                    chamfer_distance_map(
+                        jnp.asarray(mask), saturation=sat, variant=variant
+                    )
                 ),
                 sat,
             )
             b = int(np.ceil(sat))
             np.testing.assert_allclose(
-                banded[b:-b], full[b:-b], rtol=1e-5, atol=1e-5
+                got[b:-b], full[b:-b], rtol=1e-5, atol=1e-5
             )
+
+    def test_saturated_iter_edge_seeds(self):
+        """Change pixels ON the never-relaxed columns/rows must still seed
+        their neighbors (PCL's chains read the frozen edge values)."""
+        from rovinasemanticsegmentation_tpu.ops.normals import (
+            chamfer_distance_map,
+        )
+
+        sat = 6.0
+        mask = np.zeros((30, 40), bool)
+        mask[15, 0] = True   # left edge column
+        mask[0, 20] = True   # top row
+        mask[29, 39] = True  # bottom-right corner
+        full = np.minimum(
+            np.asarray(chamfer_distance_map(jnp.asarray(mask))), sat
+        )
+        it = np.minimum(
+            np.asarray(
+                chamfer_distance_map(
+                    jnp.asarray(mask), saturation=sat, variant="iter"
+                )
+            ),
+            sat,
+        )
+        b = int(np.ceil(sat))
+        np.testing.assert_allclose(it[b:-b], full[b:-b], rtol=1e-5, atol=1e-5)
 
 
 class TestNormals:
@@ -427,6 +457,39 @@ class TestNormalsGridPath:
         for s in (7, 8):
             grid = np.asarray(normal_angles_grid(jnp.asarray(pts), s))
             np.testing.assert_allclose(grid, full[::s, ::s], rtol=1e-5, atol=1e-6)
+
+    def test_chamfer_variants_agree_end_to_end(self):
+        """normal_angles_grid under the two saturated chamfer variants:
+        the -2 masks must agree exactly; angles agree except where the two
+        variants' f32 path-cost accumulation orders land an ulp apart
+        across an integer rect boundary (the same slack the PCL oracle
+        comparison tolerates — neither order is 'the' PCL one)."""
+        from rovinasemanticsegmentation_tpu.ops.normals import (
+            normal_angles_grid,
+        )
+
+        rng = np.random.default_rng(13)
+        h, w = 64, 72
+        ys, xs = np.mgrid[0:h, 0:w]
+        z = 2.0 + 0.01 * xs + 0.004 * ys + 0.002 * rng.standard_normal((h, w))
+        pts = np.stack([xs * 0.01, ys * 0.01, z], -1).astype(np.float32)
+        pts[20:24, 30:36] = np.nan
+        pts[:, 50:] += 1.0
+        for s in (1, 2):
+            a = np.asarray(
+                normal_angles_grid(jnp.asarray(pts), s, chamfer_variant="iter")
+            )
+            b = np.asarray(
+                normal_angles_grid(
+                    jnp.asarray(pts), s, chamfer_variant="banded"
+                )
+            )
+            np.testing.assert_array_equal(a == -2.0, b == -2.0)
+            diff = np.abs(a - b)
+            loose = diff > 2e-3
+            assert loose.mean() <= 0.005 and diff.max() < 0.05, (
+                f"{loose.sum()} pixels beyond tolerance, worst {diff.max()}"
+            )
 
 
 class TestPatchesPallasParity:
