@@ -513,6 +513,19 @@ def _run_bench() -> None:
             "frame_path_ms_per_kf": round(frame_ms, 2),
             "map_path_ms_per_map": round(map_ms, 2),
         },
+        # Which measured variants this capture ran with — provenance for
+        # cross-round comparisons: the TUNING.json winners plus any
+        # ROVINA_* env overrides in effect (env wins at resolution time).
+        "tuning": {
+            **__import__(
+                "rovinasemanticsegmentation_tpu.utils.tuning", fromlist=["x"]
+            ).snapshot(),
+            **{
+                k.lower()[len("rovina_"):] + " (env)": v
+                for k, v in os.environ.items()
+                if k.startswith("ROVINA_")
+            },
+        },
     }
     _save_last_known_good(record)
     print(json.dumps(record))

@@ -158,9 +158,14 @@ def _extract_impl(
         # scan path.
         depth_grid = jnp.where(mask, depth_m, 0.0).reshape(gys.size, gxs.size)
         if jax.default_backend() == "tpu" and stride in (1, 2, 4, 8):
+            from ..utils import tuning
+
             patches = extract_patches_pallas(
                 padded, depth_grid,
                 patch_size=patch_size, reduce_size=reduce_size, stride=stride,
+                rows_per_program=int(
+                    tuning.get("patches_rows_per_program", 8)
+                ),
             )
         else:
             patches = extract_patches_scan(

@@ -339,18 +339,16 @@ def _descent_kernel(
 
 
 def _transpose_pack_default() -> bool:
-    """Env-pinned default for the descent pack design.
+    """Measured default for the descent pack design.
 
-    ``ROVINA_DESCENT_TRANSPOSE=1/0`` overrides; unset falls back to the
-    diag-gather design until the MXU-transpose variant's TPU slope check
-    flips it (VERDICT r3 item 3 — parity is proven in interpret mode, the
-    win must be confirmed compiled)."""
-    import os
+    ``ROVINA_DESCENT_TRANSPOSE=1/0`` overrides; otherwise the TUNING.json
+    winner recorded by ``scripts/exp_descent.py``'s compiled slope check
+    applies, falling back to the diag-gather design (VERDICT r3 item 3 —
+    parity is proven in interpret mode, the win must be confirmed
+    compiled)."""
+    from ..utils import tuning
 
-    v = os.environ.get("ROVINA_DESCENT_TRANSPOSE")
-    if v is not None:
-        return v not in ("0", "false", "False", "")
-    return False
+    return bool(tuning.get("descent_transpose", False))
 
 
 @partial(

@@ -268,7 +268,7 @@ def normal_angles(
     points: jnp.ndarray,
     max_depth_change_factor: float = 0.02,
     normal_smoothing_size: float = 10.0,
-    chamfer_variant: str = "iter",
+    chamfer_variant: Optional[str] = None,
 ) -> jnp.ndarray:
     """Full-resolution angles [H, W] (see :func:`normal_angles_grid`)."""
     return _normal_angles_impl(
@@ -289,7 +289,7 @@ def normal_angles_grid(
     stride: int,
     max_depth_change_factor: float = 0.02,
     normal_smoothing_size: float = 10.0,
-    chamfer_variant: str = "iter",
+    chamfer_variant: Optional[str] = None,
 ) -> jnp.ndarray:  # [ceil(H/s), ceil(W/s)]
     """Angles only at the stride-grid samples.
 
@@ -306,8 +306,14 @@ def normal_angles_grid(
 
 def _normal_angles_impl(
     points, stride: Optional[int], max_depth_change_factor,
-    normal_smoothing_size, chamfer_variant: str = "iter",
+    normal_smoothing_size, chamfer_variant: Optional[str] = None,
 ):
+    if chamfer_variant is None:
+        # Measured default (env ROVINA_CHAMFER_VARIANT > TUNING.json >
+        # "iter"); a trace-time static choice like the descent pack's.
+        from ..utils import tuning
+
+        chamfer_variant = str(tuning.get("chamfer_variant", "iter"))
     h, w = points.shape[0], points.shape[1]
     z = points[..., 2]
     invalid = jnp.isnan(z)

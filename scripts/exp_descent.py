@@ -369,6 +369,7 @@ def main():
             times[K] = best
         ms = (times[16] - times[4]) / 12 * 1000
         print(f"{name:16s} {ms:7.2f} ms/iter")
+        return ms
 
     def xd_pert(i):
         return xd + i.astype(jnp.float32) * 1e-6
@@ -378,15 +379,48 @@ def main():
 
     def safe(fn, *a):
         try:
-            fn(*a)
+            return fn(*a)
         except Exception as e:  # one variant's Mosaic failure mustn't
             print(f"FAILED {a[0] if a else ''}: {type(e).__name__}: {e}")
+            return None
 
-    safe(slope, "A baseline", lambda f: find_leaves_pallas(
+    a_ms = safe(slope, "A baseline", lambda f: find_leaves_pallas(
         f, meta, thr, off, nch, lm.num_levels, lm.feat_bits))
     safe(slope, "B transpose", lambda f: find_leaves_v(
         f, meta, thr, off, nch, lm.num_levels, lm.feat_bits,
         transpose_pack=True))
+
+    # Record the production-default winner (utils/tuning.py): compare the
+    # PRODUCTION kernel's transpose_pack path (not the find_leaves_v
+    # experiment wrapper) against the baseline, gate on compiled parity,
+    # and write TUNING.json so the official bench runs the winner even if
+    # the tunnel dies between this measurement and the capture.
+    def _prod_transpose(f):
+        return find_leaves_pallas(
+            f, meta, thr, off, nch, lm.num_levels, lm.feat_bits,
+            transpose_pack=True,
+        )
+
+    bp_ms = None
+    try:
+        prod_ok = np.array_equal(np.asarray(_prod_transpose(xd)), base)
+        print(f"B transpose (production kernel): "
+              f"{'PARITY OK' if prod_ok else 'MISMATCH'}")
+        if prod_ok:
+            bp_ms = safe(slope, "B prod", _prod_transpose)
+    except Exception as e:
+        print(f"B production-path check failed: {type(e).__name__}: {e}")
+    if a_ms is not None and bp_ms is not None:
+        from rovinasemanticsegmentation_tpu.utils import tuning
+
+        tuning.record(
+            "descent_transpose",
+            bool(bp_ms < a_ms),
+            {"baseline_ms": round(a_ms, 3), "transpose_ms": round(bp_ms, 3),
+             "script": "exp_descent.py bench", "n_points": int(n)},
+        )
+        print(f"TUNING: descent_transpose={bp_ms < a_ms} "
+              f"(A {a_ms:.2f} vs B {bp_ms:.2f} ms)")
     # C/D use permuted features.
     def slope_p(name, fn):
         times = {}

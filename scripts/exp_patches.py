@@ -258,17 +258,41 @@ def main():
             times[K] = best
         ms = (times[32] - times[8]) / 24 * 1000
         print(f"{name:20s} {ms:7.2f} ms/iter")
+        return ms
 
-    slope("A production", lambda d: extract_patches_pallas(
+    def safe(name, fn):
+        try:
+            return slope(name, fn)
+        except Exception as e:  # a VMEM-overflow variant mustn't kill the run
+            print(f"{name}: FAILED {type(e).__name__}: {e}")
+            return None
+
+    rows_ms = {}
+    rows_ms[8] = safe("A production", lambda d: extract_patches_pallas(
         lab, d, patch_size=b, reduce_size=r, stride=s))
-    slope("E rowstage3ch", lambda d: extract_patches_e(
+    safe("E rowstage3ch", lambda d: extract_patches_e(
         lab, d, patch_size=b, reduce_size=r, stride=s))
     # Multi-row blocks (round-4 lead): fewer DMAs + wider column-stage ops
     # per program, at the cost of a bigger VMEM footprint per block.
     for rp in (16, 32):
-        slope(f"A rows={rp}", lambda d, rp=rp: extract_patches_pallas(
+        rows_ms[rp] = safe(f"A rows={rp}", lambda d, rp=rp: extract_patches_pallas(
             lab, d, patch_size=b, reduce_size=r, stride=s,
             rows_per_program=rp))
+
+    measured = {k: v for k, v in rows_ms.items() if v is not None}
+    if len(measured) >= 2 and rows_ms.get(8) is not None:
+        # Record the winner for the production default (utils/tuning.py;
+        # parity across row-block sizes is pinned by
+        # tests/test_feature_ops.py::TestPatchesPallasParity).
+        from rovinasemanticsegmentation_tpu.utils import tuning
+
+        best_rp = min(measured, key=measured.get)
+        tuning.record(
+            "patches_rows_per_program", int(best_rp),
+            {"ms": {str(k): round(v, 3) for k, v in measured.items()},
+             "script": "exp_patches.py bench"},
+        )
+        print(f"TUNING: patches_rows_per_program={best_rp}")
 
 
 if __name__ == "__main__":

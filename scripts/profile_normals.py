@@ -136,8 +136,20 @@ def main():
     slope("banded chamfer", st_chamfer, change)
     slope("iterated chamfer", st_chamfer_iter, change)
     slope("grads + integral stack", st_grad_integral, pts)
-    slope("normals (whole, banded)", st_all, pts)
-    slope("normals (whole, iter)", st_all_iter, pts)
+    banded_ms = slope("normals (whole, banded)", st_all, pts)
+    iter_ms = slope("normals (whole, iter)", st_all_iter, pts)
+
+    # Record the production default (utils/tuning.py); end-to-end variant
+    # agreement is pinned by tests/test_feature_ops.py.
+    from rovinasemanticsegmentation_tpu.utils import tuning
+
+    winner = "iter" if iter_ms <= banded_ms else "banded"
+    tuning.record(
+        "chamfer_variant", winner,
+        {"banded_ms": round(banded_ms, 3), "iter_ms": round(iter_ms, 3),
+         "script": "profile_normals.py"},
+    )
+    print(f"TUNING: chamfer_variant={winner}")
 
 
 if __name__ == "__main__":

@@ -43,4 +43,6 @@ run bench_train 3600 python scripts/bench_train.py 100000 2
 run dense_inf 1800 python scripts/bench_dense_inference.py
 run tpu_smoke 3600 env ROVINA_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -m tpu -q
 run slope_b5 3600 env BATCH=5 python scripts/profile_slope.py
+# Re-capture with every experiment's recorded winner applied (TUNING.json):
+run bench_tuned 5400 python bench.py
 echo "$(date) ALL DONE" >> /tmp/tpuq/queue.log

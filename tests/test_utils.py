@@ -233,3 +233,49 @@ class TestDebugViz:
         assert h[0, 0, 2] > h[0, 0, 0]
         assert h[2, 3, 0] > h[2, 3, 2]
         assert g[0, 0, 0] == 0 and g[2, 3, 0] == 255
+
+
+class TestTuning:
+    """utils/tuning.py: the measured-variant registry experiment scripts
+    write and production hot paths read (env > TUNING.json > default)."""
+
+    def _fresh(self, tmp_path, monkeypatch):
+        from rovinasemanticsegmentation_tpu.utils import tuning
+
+        monkeypatch.setattr(tuning, "_PATH", str(tmp_path / "TUNING.json"))
+        monkeypatch.setattr(tuning, "_cache", None)
+        return tuning
+
+    def test_default_when_absent(self, tmp_path, monkeypatch):
+        t = self._fresh(tmp_path, monkeypatch)
+        assert t.get("descent_transpose", False) is False
+        assert t.get("patches_rows_per_program", 8) == 8
+        assert t.snapshot() == {}
+
+    def test_record_then_get_and_snapshot(self, tmp_path, monkeypatch):
+        t = self._fresh(tmp_path, monkeypatch)
+        t.record("descent_transpose", True, {"baseline_ms": 11.9})
+        t.record("chamfer_variant", "iter")
+        assert t.get("descent_transpose", False) is True
+        assert t.get("chamfer_variant", "banded") == "iter"
+        assert t.snapshot() == {
+            "descent_transpose": True, "chamfer_variant": "iter",
+        }
+        # A fresh process (cache cleared) reads the same file.
+        monkeypatch.setattr(t, "_cache", None)
+        assert t.get("descent_transpose", False) is True
+        import json
+
+        data = json.load(open(t._PATH))
+        assert data["descent_transpose"]["evidence"]["baseline_ms"] == 11.9
+
+    def test_env_overrides_file(self, tmp_path, monkeypatch):
+        t = self._fresh(tmp_path, monkeypatch)
+        t.record("descent_transpose", True)
+        t.record("patches_rows_per_program", 32)
+        monkeypatch.setenv("ROVINA_DESCENT_TRANSPOSE", "0")
+        monkeypatch.setenv("ROVINA_PATCHES_ROWS_PER_PROGRAM", "16")
+        monkeypatch.setenv("ROVINA_CHAMFER_VARIANT", "banded")
+        assert t.get("descent_transpose", False) is False
+        assert t.get("patches_rows_per_program", 8) == 16
+        assert t.get("chamfer_variant", "iter") == "banded"
