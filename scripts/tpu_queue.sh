@@ -45,4 +45,6 @@ run tpu_smoke 3600 env ROVINA_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.
 run slope_b5 3600 env BATCH=5 python scripts/profile_slope.py
 # Re-capture with every experiment's recorded winner applied (TUNING.json):
 run bench_tuned 5400 python bench.py
+# Round-5 lead scout (after the captures; informs, records nothing):
+run exp_hist 1800 python scripts/exp_hist.py bench
 echo "$(date) ALL DONE" >> /tmp/tpuq/queue.log
