@@ -247,6 +247,7 @@ class SingleFramePipeline:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas)
+        self._forest = forest
         self.pallas_predictor = PallasForestPredictor(forest) if self.use_pallas else None
         self.predictor = ForestPredictor(forest)
 
@@ -292,6 +293,12 @@ class SingleFramePipeline:
         cfg = self.feature_config
         h, w = int(depth_stack.shape[1]), int(depth_stack.shape[2])
         pp = self.pallas_predictor
+        if pp is None:
+            # The batched path is Pallas-only; off-TPU the kernel runs
+            # through the interpreter (bit-identical, just slower), so
+            # build the predictor lazily instead of crashing — CPU callers
+            # of the batch API (dry-runs, tests) stay correct.
+            pp = self.pallas_predictor = PallasForestPredictor(self._forest)
         outs = _batch_frame_impl_pallas(
             jnp.asarray(rgb_stack),
             jnp.asarray(depth_stack),

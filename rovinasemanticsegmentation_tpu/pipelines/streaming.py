@@ -183,6 +183,10 @@ class StreamingPipeline:
             )
         mp._drain_overflow_flags()
         pp = fp.pallas_predictor
+        if pp is None:  # off-TPU the kernel interprets; build lazily
+            from .single_frame import PallasForestPredictor
+
+            pp = fp.pallas_predictor = PallasForestPredictor(fp._forest)
         frame_labels, map_labels, m_counts = _stream_step(
             jnp.asarray(rgb_stack), jnp.asarray(depth_stack),
             jnp.asarray(kinv), jnp.asarray(rot), jnp.asarray(trans),
