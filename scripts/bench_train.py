@@ -27,6 +27,11 @@ def main() -> None:
 
     import jax
 
+    # sitecustomize boots the axon TPU plugin before env vars are honored;
+    # re-pin so `JAX_PLATFORMS=cpu` control-flow dry-runs work offline.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     # Persist compiled executables across processes: the trainer's level
     # steps span ~20 bucketed shapes, each a slow remote compile.
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ccache")

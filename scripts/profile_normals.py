@@ -15,6 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# sitecustomize boots the axon TPU plugin before env vars are honored;
+# re-pin so `JAX_PLATFORMS=cpu` control-flow dry-runs work offline.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ccache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
