@@ -410,7 +410,7 @@ def main():
             bp_ms = safe(slope, "B prod", _prod_transpose)
     except Exception as e:
         print(f"B production-path check failed: {type(e).__name__}: {e}")
-    if a_ms is not None and bp_ms is not None:
+    if a_ms is not None and bp_ms is not None and jax.default_backend() == "tpu":
         from rovinasemanticsegmentation_tpu.utils import tuning
 
         tuning.record(

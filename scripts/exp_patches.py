@@ -280,7 +280,8 @@ def main():
             rows_per_program=rp))
 
     measured = {k: v for k, v in rows_ms.items() if v is not None}
-    if len(measured) >= 2 and rows_ms.get(8) is not None:
+    if (len(measured) >= 2 and rows_ms.get(8) is not None
+            and jax.default_backend() == "tpu"):
         # Record the winner for the production default (utils/tuning.py;
         # parity across row-block sizes is pinned by
         # tests/test_feature_ops.py::TestPatchesPallasParity).

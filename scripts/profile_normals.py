@@ -145,16 +145,21 @@ def main():
     iter_ms = slope("normals (whole, iter)", st_all_iter, pts)
 
     # Record the production default (utils/tuning.py); end-to-end variant
-    # agreement is pinned by tests/test_feature_ops.py.
-    from rovinasemanticsegmentation_tpu.utils import tuning
+    # agreement is pinned by tests/test_feature_ops.py. Only a COMPILED
+    # measurement may set the default — a CPU dry-run's winner reflects
+    # interpreter/scan overheads, not the chip.
+    if jax.default_backend() == "tpu":
+        from rovinasemanticsegmentation_tpu.utils import tuning
 
-    winner = "iter" if iter_ms <= banded_ms else "banded"
-    tuning.record(
-        "chamfer_variant", winner,
-        {"banded_ms": round(banded_ms, 3), "iter_ms": round(iter_ms, 3),
-         "script": "profile_normals.py"},
-    )
-    print(f"TUNING: chamfer_variant={winner}")
+        winner = "iter" if iter_ms <= banded_ms else "banded"
+        tuning.record(
+            "chamfer_variant", winner,
+            {"banded_ms": round(banded_ms, 3), "iter_ms": round(iter_ms, 3),
+             "script": "profile_normals.py"},
+        )
+        print(f"TUNING: chamfer_variant={winner}")
+    else:
+        print("TUNING: not on TPU — winner not recorded")
 
 
 if __name__ == "__main__":
