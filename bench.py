@@ -17,6 +17,7 @@ batch size), and ``stages`` (coarse frame-path/map-path split in ms).
 Inputs vary per iteration: the TPU runtime memoizes identical executions.
 """
 
+import datetime
 import hashlib
 import json
 import os
@@ -26,6 +27,10 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rovinasemanticsegmentation_tpu.utils import tpu_lock
 
 MAP_EVERY = 5  # keyframes per local map
 MAP_POINTS = 30000
@@ -82,26 +87,42 @@ def _wait_for_backend() -> bool:
 
 
 def _emit_last_known_good(reason: str) -> None:
-    """Print the last successful capture, annotated — never an rc=1 blank."""
-    record = None
+    """Print the stale capture under a DISTINCT metric name and exit nonzero.
+
+    A fallback must never masquerade as a fresh capture (round-4 advisor,
+    high): the metric gets an ``_lkg`` suffix, the record carries its
+    original capture timestamp + age, and the process exits with rc=3 so
+    automation sees the outage. If no LKG file exists, value is null —
+    no hardcoded constants.
+    """
     try:
         with open(LKG_PATH) as f:
             record = json.load(f)
-    except Exception:
-        pass
-    if record is None:
-        record = {
-            "metric": "keyframes_per_sec_per_chip_e2e",
-            "value": 15.973,
-            "unit": "keyframes/s",
-            "vs_baseline": 0.1597,
-            "lkg_source": "driver capture BENCH_r02.json (round 2)",
-        }
+    except (OSError, ValueError):
+        record = {"metric": "keyframes_per_sec_per_chip_e2e",
+                  "value": None, "unit": "keyframes/s", "vs_baseline": None}
+    base_metric = record.get("metric", "keyframes_per_sec_per_chip_e2e")
+    if not base_metric.endswith("_lkg"):
+        record["metric"] = base_metric + "_lkg"
+    captured_at = record.get("captured_at")
+    if captured_at:
+        try:
+            age_s = (
+                datetime.datetime.now(datetime.timezone.utc)
+                - datetime.datetime.fromisoformat(captured_at)
+            ).total_seconds()
+            record["age_days"] = round(age_s / 86400.0, 2)
+        except ValueError:
+            record["age_days"] = None
+    else:
+        record["age_days"] = None  # pre-timestamp capture: age unknown/old
+    record["stale"] = True
     record["note"] = (
         f"TPU backend unavailable for this capture ({reason}); value is the "
         f"last-known-good measurement, not a fresh one"
     )
     print(json.dumps(record))
+    raise SystemExit(3)
 
 
 def _save_last_known_good(record: dict) -> None:
@@ -113,17 +134,44 @@ def _save_last_known_good(record: dict) -> None:
         print(f"warning: could not write {LKG_PATH}: {e}", file=sys.stderr)
 
 
+def _is_backend_outage(e: Exception) -> bool:
+    """Only infrastructure outages may route to the LKG fallback.
+
+    Code bugs must surface as a normal traceback + rc=1 (round-4 advisor,
+    high) — a blanket handler here once let ANY bench bug be recorded as a
+    stale-but-plausible number.
+    """
+    msg = f"{type(e).__name__}: {e}".lower()
+    return any(
+        s in msg
+        for s in (
+            "unavailable", "deadline_exceeded", "deadline exceeded",
+            "backend", "tpu initialization", "failed to connect",
+            "socket closed", "connection reset", "transport",
+        )
+    )
+
+
 def main() -> None:
+    # One TPU client at a time, machine-wide: the unattended measurement
+    # queue and the driver's end-of-round bench must wait on each other,
+    # never overlap (wedge hazard, ROADMAP.md).
+    if not tpu_lock.acquire(timeout_s=float(
+            os.environ.get("ROVINA_TPU_LOCK_TIMEOUT_S", 7200))):
+        _emit_last_known_good("another TPU process held the lock past timeout")
+        return
     if not _wait_for_backend():
         _emit_last_known_good(f"probe retries exhausted after {RETRY_DEADLINE_S}s")
         return
     try:
         _run_bench()
-    except Exception as e:  # noqa: BLE001 - the official capture must not go blank
+    except Exception as e:
+        if not _is_backend_outage(e):
+            raise  # code bug: loud traceback, rc=1, no stale number
         import traceback
 
         traceback.print_exc()
-        _emit_last_known_good(f"bench run failed: {type(e).__name__}: {e}")
+        _emit_last_known_good(f"backend lost mid-run: {type(e).__name__}: {e}")
 
 
 def _run_bench() -> None:
@@ -527,6 +575,20 @@ def _run_bench() -> None:
             },
         },
     }
+    # Provenance: bound LKG staleness (VERDICT r4 weak 5) — a future
+    # fallback surfaces this capture's age instead of re-emitting it
+    # indefinitely with only a free-text note.
+    record["captured_at"] = datetime.datetime.now(
+        datetime.timezone.utc
+    ).isoformat(timespec="seconds")
+    try:
+        record["git_rev"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except (OSError, subprocess.TimeoutExpired):
+        record["git_rev"] = None
     _save_last_known_good(record)
     print(json.dumps(record))
 

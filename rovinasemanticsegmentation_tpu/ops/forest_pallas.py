@@ -374,6 +374,15 @@ def find_leaves_pallas(
     interpret = interpret or jax.default_backend() != "tpu"
     if transpose_pack is None:
         transpose_pack = _transpose_pack_default()
+    if transpose_pack and feat_bits > 24:
+        # The transpose path routes the packed word through f32 (identity
+        # dot_general), exact only up to 2^24. feat_bits > 24 would reach
+        # this at per_word == 1 (max(1, 23 // feat_bits) floors) and
+        # silently corrupt feature indices; the diag-gather path is
+        # int32-exact to 31 bits, so fall back to it regardless of the
+        # global TUNING.json default (round-4 advisor, low). Real forests
+        # never get here (feat_bits <= ceil(log2(D)) and D = 366 -> 9).
+        transpose_pack = False
     p, d = features.shape
     t_count = meta.shape[0]
     if t_count > LANES:

@@ -456,11 +456,23 @@ class LocalMapPipeline:
         self._drain_overflow_flags(blocking=True)
 
     def __del__(self):  # pragma: no cover - interpreter-shutdown timing
+        # Never materialize device values at teardown: flush() blocks on
+        # int(count_dev), and with a wedged TPU tunnel (the project's
+        # documented failure mode) that HANGS process exit — exceptions are
+        # catchable here, hangs are not (round-4 advisor, low). Only warn
+        # that unobserved overflow probes exist; flush() stays an explicit
+        # session-end call.
         try:
-            if getattr(self, "_pending_m", None):
-                self.flush()
+            pending = getattr(self, "_pending_m", None)
+            if pending:
+                logging.warning(
+                    "LocalMapPipeline deleted with %d unobserved overflow "
+                    "probe(s); call flush() at session end to observe "
+                    "lattice-bucket overflows on the final maps",
+                    len(pending),
+                )
         except Exception:
-            pass  # device/backend may already be torn down
+            pass  # logging may already be torn down
 
     def label_map(
         self,

@@ -726,9 +726,12 @@ def _grow_forest_fused(
     (split_feature, threshold, left_child, depth, raw_hist [nn, L, C]).
 
     Host side: per-tree bootstrap index/seed draws (the same rng order as
-    the per-tree path: idx, then seed), one small [T] sync for the
-    overflow check, a device-side table slice to the pow2 of the LARGEST
-    tree, and one download per table.
+    the per-tree path: idx, then seed), one small [T] sync per growth
+    dispatch for the overflow check (exactly one dispatch unless a tree
+    overflows its bucket — then only the overflowing trees regrow at the
+    escalated bucket, keeping fused==per-tree bit-identity), a device-side
+    table slice to the pow2 of the LARGEST tree, and one download per
+    table.
     """
     n, d = x_full.shape
     num_layers = labels.shape[1]
@@ -749,34 +752,65 @@ def _grow_forest_fused(
         cw_np[i] = _tree_class_weights(cfg, labels[idx_np[i]], ns, num_classes)
         seeds_np[i] = np.uint32(rng.integers(0, 2**32, dtype=np.uint64))
 
-    f_pad, cap = _forest_buckets(ns, cfg)
+    f_pad0, cap0 = _forest_buckets(ns, cfg)
     idx_dev = jnp.asarray(idx_np)
     seeds_dev = jnp.asarray(seeds_np)
     cw_dev = jnp.asarray(cw_np)
-    while True:
-        sf, th, lc, dep, nn, fc, _ = grow_forest_device(
-            x_full, labels_dev, idx_dev, seeds_dev,
-            jnp.float32(cfg.min_split_examples),
-            jnp.float32(cfg.min_child_split_examples),
-            cw_dev,
-            f_pad=f_pad, cap=cap, max_depth=cfg.max_depth, k=k,
-            num_classes=num_classes, num_layers=num_layers,
-        )
-        nn_np = np.asarray(nn)  # the growth's ONE host sync ([T] + [T])
-        fc_np = np.asarray(fc)
-        if (fc_np > f_pad).any():
-            f_pad *= 4
-            continue
-        if (nn_np + 2 * fc_np > cap).any():
-            cap *= 4
-            continue
-        break
+
+    # Per-tree bucket escalation, bit-identical to the per-tree path
+    # (_grow_tree_on_device): the rng streams depend on f_pad, so an
+    # overflow may regrow ONLY the overflowing trees at the bigger bucket
+    # — regrowing everything would silently change every non-overflowing
+    # tree and break the documented fused==per-tree equality (round-4
+    # advisor, medium). Escalation order matches the per-tree loop
+    # exactly: frontier overflow first (f_pad x4, recheck), then table
+    # overflow (cap x4). Trees sharing a bucket pair ride one dispatch,
+    # so the common case stays growth+refit = two dispatches total.
+    buckets = {i: (f_pad0, cap0) for i in range(len(tree_ids))}
+    grown: dict = {}  # i -> (sf_i, th_i, lc_i, dep_i, nn_i) device rows
+    pending = list(range(len(tree_ids)))
+    while pending:
+        groups: dict = {}
+        for i in pending:
+            groups.setdefault(buckets[i], []).append(i)
+        pending = []
+        for (f_pad, cap), idxs in groups.items():
+            sel = jnp.asarray(np.array(idxs, np.int32))
+            sf, th, lc, dep, nn, fc, _ = grow_forest_device(
+                x_full, labels_dev, idx_dev[sel], seeds_dev[sel],
+                jnp.float32(cfg.min_split_examples),
+                jnp.float32(cfg.min_child_split_examples),
+                cw_dev[sel],
+                f_pad=f_pad, cap=cap, max_depth=cfg.max_depth, k=k,
+                num_classes=num_classes, num_layers=num_layers,
+            )
+            nn_np = np.asarray(nn)  # one host sync per dispatch ([T']+[T'])
+            fc_np = np.asarray(fc)
+            for j, i in enumerate(idxs):
+                if fc_np[j] > f_pad:
+                    buckets[i] = (f_pad * 4, cap)
+                    pending.append(i)
+                elif nn_np[j] + 2 * fc_np[j] > cap:
+                    buckets[i] = (f_pad, cap * 4)
+                    pending.append(i)
+                else:
+                    grown[i] = (sf[j], th[j], lc[j], dep[j], int(nn_np[j]))
 
     # Refit once for every tree at the pow2 bucket of the largest tree;
     # rows past a tree's own nn are untouched zeros (sliced off below).
-    nn_b = max(256, 1 << int(int(nn_np.max()) - 1).bit_length())
+    nn_b = max(
+        256, 1 << int(max(g[4] for g in grown.values()) - 1).bit_length()
+    )
     md_b = -(-max(cfg.max_depth, 1) // 8) * 8
-    sf_s, th_s, lc_s = sf[:, :nn_b], th[:, :nn_b], lc[:, :nn_b]
+
+    def _row(a, fill):
+        return (a[:nn_b] if a.shape[0] >= nn_b
+                else jnp.pad(a, (0, nn_b - a.shape[0]), constant_values=fill))
+
+    sf_s = jnp.stack([_row(grown[i][0], 0) for i in range(len(tree_ids))])
+    th_s = jnp.stack([_row(grown[i][1], 0) for i in range(len(tree_ids))])
+    lc_s = jnp.stack([_row(grown[i][2], 0) for i in range(len(tree_ids))])
+    dep_s = jnp.stack([_row(grown[i][3], 0) for i in range(len(tree_ids))])
     raw_all = np.asarray(
         forest_refit_device(
             x_full, labels_dev, freqs_dev, sf_s, th_s, lc_s,
@@ -786,10 +820,10 @@ def _grow_forest_fused(
     sf_np = np.asarray(sf_s)
     th_np = np.asarray(th_s)
     lc_np = np.asarray(lc_s)
-    dep_np = np.asarray(dep[:, :nn_b])
+    dep_np = np.asarray(dep_s)
     out = []
     for i in range(len(tree_ids)):
-        m = int(nn_np[i])
+        m = grown[i][4]
         out.append(
             (sf_np[i, :m], th_np[i, :m], lc_np[i, :m], dep_np[i, :m],
              raw_all[i, :m])

@@ -25,6 +25,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     trees = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; skipping TPU bench",
+              file=sys.stderr)
+        raise SystemExit(3)
+
     import jax
 
     # sitecustomize boots the axon TPU plugin before env vars are honored;

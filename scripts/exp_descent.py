@@ -292,6 +292,12 @@ def usage_permutation(lm, d):
 
 
 def main():
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if MODE == "bench" and not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; skipping TPU bench",
+              file=sys.stderr)
+        raise SystemExit(3)
     fixture = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "resources",
         "bench_forest.dat",
@@ -421,6 +427,12 @@ def main():
         )
         print(f"TUNING: descent_transpose={bp_ms < a_ms} "
               f"(A {a_ms:.2f} vs B {bp_ms:.2f} ms)")
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if tpu_lock.deadline_expired(margin_s=120):
+        print("TPUQ_DEADLINE_S reached; skipping C/D variants", file=sys.stderr)
+        return
+
     # C/D use permuted features.
     def slope_p(name, fn):
         times = {}

@@ -217,6 +217,12 @@ def make_depth(r, h, w):
 
 
 def main():
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if MODE == "bench" and not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; skipping TPU bench",
+              file=sys.stderr)
+        raise SystemExit(3)
     rng = np.random.default_rng(0)
     if MODE == "parity":
         h, w, b, r, s = 64, 96, 21, 7, 2
@@ -275,6 +281,10 @@ def main():
     # Multi-row blocks (round-4 lead): fewer DMAs + wider column-stage ops
     # per program, at the cost of a bigger VMEM footprint per block.
     for rp in (16, 32):
+        if tpu_lock.deadline_expired(margin_s=180):
+            print("TPUQ_DEADLINE_S reached; stopping row-block sweep",
+                  file=sys.stderr)
+            break
         rows_ms[rp] = safe(f"A rows={rp}", lambda d, rp=rp: extract_patches_pallas(
             lab, d, patch_size=b, reduce_size=r, stride=s,
             rows_per_program=rp))

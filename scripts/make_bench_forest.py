@@ -59,6 +59,11 @@ def make_rgb(r, depth):
 
 
 def main() -> None:
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; aborting", file=sys.stderr)
+        raise SystemExit(3)
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ccache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -60,6 +60,12 @@ def slope(name, stage, *args):
 
 
 def main():
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; skipping TPU run",
+              file=sys.stderr)
+        raise SystemExit(3)
     rng = np.random.default_rng(0)
     pts = np.stack(
         [rng.uniform(-4, 4, N), rng.uniform(-3, 3, N), rng.uniform(0.5, 6, N)],

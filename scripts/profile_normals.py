@@ -69,6 +69,12 @@ def slope(name, stage, *args):
 
 
 def main():
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; skipping TPU run",
+              file=sys.stderr)
+        raise SystemExit(3)
     rng = np.random.default_rng(0)
     Kinv = jnp.asarray(np.linalg.inv(
         np.array([[525.0, 0, 320], [0, 525.0, 240], [0, 0, 1]])))

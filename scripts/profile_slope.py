@@ -106,6 +106,12 @@ def slope(name, stage, *args):
 
 
 def main():
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; skipping TPU run",
+              file=sys.stderr)
+        raise SystemExit(3)
     import os
 
     rng = np.random.default_rng(0)

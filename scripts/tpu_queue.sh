@@ -1,12 +1,17 @@
 #!/bin/bash
-# Waits for the TPU tunnel to recover, then runs the round-4 measurement
+# Waits for the TPU tunnel to recover, then runs the round-5 measurement
 # plan sequentially (one TPU process at a time), logging to /tmp/tpuq.
-# Steps exit on their own (fixed epoch/iteration counts); there is NO hard
-# timeout around them: SIGTERM/SIGKILLing a TPU client whose remote compile
-# is in flight wedges the tunnel for hours (see ROADMAP.md).
+# Steps exit on their own (fixed epoch/iteration counts) and honor the
+# soft TPUQ_DEADLINE_S via tpu_lock.deadline_expired between iterations;
+# there is NO hard timeout around them: SIGTERM/SIGKILLing a TPU client
+# whose remote compile is in flight wedges the tunnel for hours (see
+# ROADMAP.md). Every step additionally takes the machine-wide flock
+# (rovinasemanticsegmentation_tpu/utils/tpu_lock.py), so this queue and
+# the driver's end-of-round bench.py can never run two TPU clients at
+# once — late-comers wait, nothing overlaps.
 #
 # `touch /tmp/tpuq/STOP` makes the queue exit before starting the next
-# step (so the driver's end-of-round bench.py never contends for the chip).
+# step.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpuq
@@ -31,20 +36,23 @@ run() {
     echo "$(date) END $name rc=$?" >> /tmp/tpuq/queue.log
 }
 
-# Round-4 plan (VERDICT r3 "Next round" items). The official capture runs
-# FIRST: if the tunnel dies again mid-plan, a fresh number is already in
-# BENCH_LKG.json.
+# Round-5 plan (VERDICT r4 "Next round" items 1,3,4,5). The official
+# capture runs FIRST: if the tunnel dies again mid-plan, a fresh number
+# is already in BENCH_LKG.json (now with captured_at provenance).
 run bench 5400 python bench.py
+# Item 5: per-stage winners -> TUNING.json, then tuned re-capture.
 run exp_descent 5400 python scripts/exp_descent.py bench
-run bench_transpose 5400 env ROVINA_DESCENT_TRANSPOSE=1 python bench.py
 run exp_patches 3600 python scripts/exp_patches.py bench
 run profile_normals 3600 python scripts/profile_normals.py
+# Item 3: fused-forest training vs the in-env C++ 12.8 s.
 run bench_train 3600 python scripts/bench_train.py 100000 2
+# Item 4: dense_inference wall time vs the in-env C++ 214-303 ms.
 run dense_inf 1800 python scripts/bench_dense_inference.py
+# Compiled-numerics validation of every Pallas kernel + stage table.
 run tpu_smoke 3600 env ROVINA_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -m tpu -q
 run slope_b5 3600 env BATCH=5 python scripts/profile_slope.py
 # Re-capture with every experiment's recorded winner applied (TUNING.json):
 run bench_tuned 5400 python bench.py
-# Round-5 lead scout (after the captures; informs, records nothing):
+# Leaf-gather lead scout (informs only, records nothing):
 run exp_hist 1800 python scripts/exp_hist.py bench
 echo "$(date) ALL DONE" >> /tmp/tpuq/queue.log

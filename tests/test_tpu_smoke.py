@@ -33,6 +33,17 @@ import jax.numpy as jnp
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE = os.path.join(ROOT, "resources", "bench_forest.dat")
 
+# One TPU client machine-wide: take the flock BEFORE jax.default_backend()
+# initializes the backend (wedge hazard, ROADMAP.md).
+if os.environ.get("ROVINA_TPU_TESTS") == "1":
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if not tpu_lock.acquire():
+        pytest.skip(
+            "tpu_lock held past timeout; not contending for the chip",
+            allow_module_level=True,
+        )
+
 on_tpu = (
     os.environ.get("ROVINA_TPU_TESTS") == "1"
     and jax.default_backend() == "tpu"

@@ -292,6 +292,7 @@ class TestDeviceGrowth:
         y = ((x[:, 0] > 0) + 2 * (x[:, 4] > 0.3)).astype(np.int32)
         return x, y
 
+    @pytest.mark.slow  # stop rules covered fast by test_min_split_respected_on_device
     def test_both_modes_learn_and_respect_stops(self, data):
         x, y = data
         for dg in (False, True):
@@ -354,6 +355,7 @@ class TestDeviceGrowth:
         split_nodes = lc != 0
         assert (full[split_nodes] >= cfg.min_split_examples).all()
 
+    @pytest.mark.slow  # same fused==per-tree equality asserted in dryrun_multichip
     def test_fused_forest_matches_per_tree_device_growth(self, data, tmp_path):
         """The one-dispatch fused forest (grow_forest_device) must grow
         BIT-IDENTICAL trees to the per-tree device path: the rng streams
@@ -378,6 +380,100 @@ class TestDeviceGrowth:
             np.testing.assert_array_equal(a.left_child, b.left_child)
             np.testing.assert_allclose(a.threshold, b.threshold, rtol=1e-7)
             np.testing.assert_allclose(a.leaf_hist, b.leaf_hist, rtol=1e-5)
+
+    def test_fused_overflow_retry_keeps_per_tree_identity(
+        self, data, tmp_path, monkeypatch
+    ):
+        """Bucket overflow in the fused path must regrow ONLY the
+        overflowing trees (round-4 advisor, medium): rng streams depend on
+        f_pad, so regrowing everything at 4x changes every tree and breaks
+        the fused==per-tree bit-identity. Tiny starter buckets (patched
+        into the SHARED formula, so both public paths escalate alike)
+        force retries; equality must survive them."""
+        import rovinasemanticsegmentation_tpu.train.forest_trainer as ft
+
+        x, y = data
+        monkeypatch.setattr(ft, "_forest_buckets", lambda ns, cfg: (4, 256))
+        calls = []
+        orig_gfd = ft.grow_forest_device
+
+        def spy(*a, **kw):
+            calls.append((kw["f_pad"], kw["cap"], int(a[2].shape[0])))
+            return orig_gfd(*a, **kw)
+
+        monkeypatch.setattr(ft, "grow_forest_device", spy)
+        cfg = TrainerConfig(
+            num_trees=3, max_depth=9, min_split_examples=5, seed=9,
+            device_growth=True,
+        )
+        fused = ForestTrainer(cfg).learn(
+            x, y, class_counts=[4], multi_label=False, progress=False
+        )
+        per_tree = ForestTrainer(cfg).learn(
+            x, y, class_counts=[4], multi_label=False, progress=False,
+            checkpoint_path=str(tmp_path / "ckpt.npz"),
+        )
+        # The tiny frontier bucket must actually have forced retries.
+        assert len(calls) >= 2 and calls[0] == (4, 256, 3)
+        for t in range(cfg.num_trees):
+            a, b = fused.tree_view(t), per_tree.tree_view(t)
+            np.testing.assert_array_equal(a.split_feature, b.split_feature)
+            np.testing.assert_array_equal(a.left_child, b.left_child)
+            np.testing.assert_allclose(a.threshold, b.threshold, rtol=1e-7)
+            np.testing.assert_allclose(a.leaf_hist, b.leaf_hist, rtol=1e-5)
+
+    def test_fused_retry_regrows_only_overflowing_trees(self, monkeypatch):
+        """Pure retry-logic check with a scripted grow_forest_device: tree 1
+        overflows its frontier on the first dispatch; the retry dispatch
+        must contain ONLY tree 1, at f_pad*4, same cap."""
+        import rovinasemanticsegmentation_tpu.train.forest_trainer as ft
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(64, 4)).astype(np.float32)
+        y = (x[:, 0] > 0).astype(np.int32)[:, None]
+        calls = []
+
+        def fake_gfd(xd, yd, idx, seeds, msp, mcs, cw, *, f_pad, cap, **kw):
+            t = idx.shape[0]
+            calls.append((f_pad, cap, t, np.asarray(seeds).tolist()))
+            sf = jnp.zeros((t, cap), jnp.int32)
+            th = jnp.zeros((t, cap), jnp.float32)
+            lc = jnp.zeros((t, cap), jnp.int32)
+            dep = jnp.zeros((t, cap), jnp.int32)
+            nn = jnp.ones((t,), jnp.int32)
+            # First dispatch: middle tree reports frontier overflow.
+            if len(calls) == 1:
+                fc = jnp.asarray([0, f_pad + 1, 0][:t], jnp.int32)
+            else:
+                fc = jnp.zeros((t,), jnp.int32)
+            return sf, th, lc, dep, nn, fc, None
+
+        monkeypatch.setattr(ft, "grow_forest_device", fake_gfd)
+        monkeypatch.setattr(
+            ft, "forest_refit_device",
+            lambda *a, **kw: jnp.zeros(
+                (a[3].shape[0], kw["num_nodes"], 1, kw["num_classes"]),
+                jnp.float32,
+            ),
+        )
+        cfg = TrainerConfig(
+            num_trees=3, max_depth=5, min_split_examples=4, seed=1,
+            device_growth=True,
+        )
+        out = ft._grow_forest_fused(
+            jnp.asarray(x), y, jnp.asarray(y), jnp.zeros((1, 4)),
+            cfg, 4, [0, 1, 2], len(x),
+        )
+        assert len(out) == 3
+        assert len(calls) == 2
+        f_pad0 = calls[0][0]
+        assert calls[0][2] == 3
+        # Retry: only one tree, frontier bucket x4, cap unchanged.
+        assert calls[1][0] == f_pad0 * 4
+        assert calls[1][1] == calls[0][1]
+        assert calls[1][2] == 1
+        # And it is tree 1's seed stream that was regrown.
+        assert calls[1][3] == [calls[0][3][1]]
 
     def test_overflow_flag_reports_and_retry_matches(self, data):
         from rovinasemanticsegmentation_tpu.train.forest_trainer import (
