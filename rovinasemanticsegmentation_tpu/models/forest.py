@@ -261,9 +261,42 @@ def _gather_tree_nodes(arr_tn: jnp.ndarray, node_pt: jnp.ndarray) -> jnp.ndarray
 def _sum_leaf_histograms(
     leaf_hist: jnp.ndarray, leaves: jnp.ndarray
 ) -> jnp.ndarray:
-    """Gather per-tree leaf log-histograms and sum (classifier.cpp:187-208)."""
+    """Gather per-tree leaf log-histograms and sum (classifier.cpp:187-208).
+
+    Three bit-exact layouts (identical f32 sum order over trees), selected
+    by the measured-variant registry key ``hist_gather`` (env
+    ``ROVINA_HIST_GATHER`` > TUNING.json > ``"row"``); the winner is
+    recorded by ``scripts/exp_hist.py bench`` from compiled TPU slopes:
+
+    - ``"row"``: per-tree vmap'd row gather from [N, L*C] tables. Every
+      gathered row touches a whole [8, 128] f32 tile, so at L*C ~ 17 of
+      128 lanes ~87% of the moved bytes are waste.
+    - ``"global"``: one gather from the [T*N, L*C] concatenated table
+      with ``leaf + t*N`` global ids (one big gather op instead of T).
+    - ``"transposed"``: tables transposed to [T, L*C, N] (channels on
+      sublanes) and gathered along LANES per point id — the same
+      lane-layout lever that won the CRF mean-field (ROADMAP round 2).
+      The [T, N, L*C] -> [T, L*C, N] transpose rides inside the jit: the
+      table is ~3 MB (HBM-trivial) vs ~1.2 GB of gather traffic.
+    """
+    from ..utils import tuning
+
     num_trees, n, num_layers, c = leaf_hist.shape
-    flat = leaf_hist.reshape(num_trees, n, num_layers * c)
+    lc = num_layers * c
+    flat = leaf_hist.reshape(num_trees, n, lc)
+    variant = tuning.get("hist_gather", "row")
+    if variant == "global":
+        gids = leaves + (jnp.arange(num_trees, dtype=jnp.int32) * n)[None, :]
+        rows = jnp.take(flat.reshape(num_trees * n, lc), gids.reshape(-1), axis=0)
+        return rows.reshape(-1, num_trees, lc).sum(axis=1).reshape(
+            -1, num_layers, c
+        )
+    if variant == "transposed":
+        hist_t = jnp.transpose(flat, (0, 2, 1))  # [T, L*C, N]
+        gathered = jax.vmap(
+            lambda h, idx: jnp.take(h, idx, axis=1), in_axes=(0, 1)
+        )(hist_t, leaves)  # [T, L*C, P]
+        return gathered.sum(axis=0).T.reshape(-1, num_layers, c)
     gathered = jax.vmap(lambda h, idx: jnp.take(h, idx, axis=0), in_axes=(0, 1))(
         flat, leaves
     )  # [T, P, L*C]

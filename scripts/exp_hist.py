@@ -18,9 +18,13 @@ Variants (all bit-parity-checked against A before timing):
      parity check is against the f32 result with a tolerance).
 
 Usage:  python scripts/exp_hist.py [bench|parity]
-Records nothing in TUNING.json yet — this is a round-5 lead scout; the
-winner must first be re-expressed inside the frame path (the gather rides
-forest_log_posterior_packed) before a recorded default makes sense.
+The production path now resolves its layout through the ``hist_gather``
+tuning key (models/forest.py::_sum_leaf_histograms — "row" | "global" |
+"transposed", all bit-exact), so in bench mode the best EXACT variant is
+recorded to TUNING.json (gated on a compiled TPU measurement, like every
+other recorded winner). D (bf16 tables) stays measurement-only: it
+changes posterior numerics, which would break the rtol-1e-6 C++ parity
+contract, so it must never become a silent default.
 """
 
 import os
@@ -68,6 +72,12 @@ def variant_c(hist_t, leaves):
 
 
 def main():
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock
+
+    if not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; skipping TPU run",
+              file=sys.stderr)
+        raise SystemExit(3)
     fixture = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "resources",
         "bench_forest.dat",
@@ -140,11 +150,27 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {e}")
             return None
 
-    safe("A production", lambda l: _sum_leaf_histograms(leaf_hist, l))
-    safe("B global-id", lambda l: variant_b(flat_all, l, n, lc))
-    safe("C transposed", lambda l: variant_c(hist_t, l))
+    a_ms = safe("A row (prod)", lambda l: _sum_leaf_histograms(leaf_hist, l))
+    b_ms = safe("B global-id", lambda l: variant_b(flat_all, l, n, lc))
+    c_ms = safe("C transposed", lambda l: variant_c(hist_t, l))
     safe("D bf16 rows", lambda l: variant_b(
         hist_bf.reshape(t * n, lc), l, n, lc))
+
+    # Record the best EXACT variant for the production path's hist_gather
+    # key — only from a compiled (TPU) measurement, never interpret/CPU.
+    timed = {"row": a_ms, "global": b_ms, "transposed": c_ms}
+    timed = {k: v for k, v in timed.items() if v is not None}
+    if timed and jax.default_backend() == "tpu":
+        from rovinasemanticsegmentation_tpu.utils import tuning
+
+        winner = min(timed, key=timed.get)
+        tuning.record(
+            "hist_gather", winner,
+            {**{f"{k}_ms": round(v, 3) for k, v in timed.items()},
+             "script": "exp_hist.py bench", "n_points": int(p)},
+        )
+        print(f"TUNING: hist_gather={winner} "
+              + " ".join(f"{k}={v:.2f}ms" for k, v in timed.items()))
 
 
 if __name__ == "__main__":

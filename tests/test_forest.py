@@ -181,3 +181,32 @@ class TestBinaryCodec:
         assert not loaded.multi_label
         assert loaded.class_counts == (2,)
         np.testing.assert_allclose(loaded.leaf_hist[0, 1, 0], [1.0, 2.0])
+
+
+class TestHistGatherVariants:
+    """All ``hist_gather`` layouts are bit-exact vs the default "row".
+
+    The tuned variants (models/forest.py::_sum_leaf_histograms) keep the
+    identical f32 sum order over trees, so equality is exact, not
+    approximate. Resolution is env > TUNING.json > default; eager calls
+    re-read the env each time, so monkeypatch per variant works.
+    """
+
+    @pytest.mark.parametrize("variant", ["global", "transposed"])
+    def test_bit_exact_vs_row(self, small_forest, variant, monkeypatch):
+        from rovinasemanticsegmentation_tpu.models.forest import (
+            _sum_leaf_histograms,
+        )
+
+        rng = np.random.default_rng(7)
+        t, n = small_forest.num_trees, small_forest.leaf_hist.shape[1]
+        leaves = jnp.asarray(
+            rng.integers(0, n, size=(257, t), dtype=np.int32)
+        )
+        hist = jnp.asarray(small_forest.leaf_hist)
+        monkeypatch.delenv("ROVINA_HIST_GATHER", raising=False)
+        monkeypatch.setenv("ROVINA_HIST_GATHER", "row")
+        want = np.asarray(_sum_leaf_histograms(hist, leaves))
+        monkeypatch.setenv("ROVINA_HIST_GATHER", variant)
+        got = np.asarray(_sum_leaf_histograms(hist, leaves))
+        np.testing.assert_array_equal(got, want)
