@@ -29,3 +29,13 @@ import jax  # noqa: E402
 if not TPU_MODE:
     os.environ["JAX_PLATFORMS"] = "cpu"
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache for the CPU suite: most of the 12-minute
+# wall time was XLA:CPU compiles of the same graphs on every run (the
+# suite is the builder's inner loop — VERDICT r4 weak 6). A separate dir
+# from the TPU cache keeps eviction behavior independent.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ROVINA_TEST_CCACHE", "/root/.cache/jax_ccache_cputests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -74,6 +74,7 @@ class TestCheckpoint:
         f2 = convert_npz_to_reference(npz, dat2)
         assert open(dat, "rb").read() == open(dat2, "rb").read()
 
+    @pytest.mark.slow  # checkpoint bundle/converters covered fast by the roundtrip tests
     def test_resumable_training(self, tmp_path):
         rng = np.random.default_rng(2)
         x = rng.normal(size=(400, 8)).astype(np.float32)

@@ -39,6 +39,7 @@ def separable():
 
 
 class TestBoosting:
+    @pytest.mark.slow  # boosting IO/weight math covered fast by the roundtrip test
     def test_learns_and_beats_single_stump(self, separable):
         x, y = separable
         # Pinned to host growth: this test validates the SAMME reweighting
@@ -63,6 +64,7 @@ class TestBoosting:
         assert acc > single_acc
         assert acc > 0.6
 
+    @pytest.mark.slow  # boosting IO/weight math covered fast by the roundtrip test
     def test_weights_positive_for_good_learners(self, separable):
         x, y = separable
         cfg = TrainerConfig(num_trees=3, max_depth=6, min_split_examples=5, seed=1)
@@ -83,6 +85,7 @@ class TestBoosting:
 
 
 class TestTools:
+    @pytest.mark.slow  # tools covered fast by CLI e2e metric reports (test_cli.py)
     def test_accuracy_and_confusion(self, separable):
         x, y = separable
         forest = ForestTrainer(
@@ -97,6 +100,7 @@ class TestTools:
             acc, abs=0.05
         )  # balanced classes
 
+    @pytest.mark.slow  # tools covered fast by CLI e2e metric reports (test_cli.py)
     def test_tree_correlation(self, separable):
         x, y = separable
         forest = ForestTrainer(

@@ -293,6 +293,7 @@ class TestDiagKernelLearner:
             # direction and magnitude must still agree.
             assert gs[k] == pytest.approx(num, rel=0.2, abs=2e-3)
 
+    @pytest.mark.slow  # gradient-vs-numeric checks stay fast; full fit loop is the slow part
     def test_fit_improves(self):
         from rovinasemanticsegmentation_tpu.models.crf_learning import (
             DiagKernelCrfLearner,
@@ -344,6 +345,7 @@ class TestFullKernelLearner:
                 # finite-difference error.
                 assert gm[i, j] == pytest.approx(num, rel=5e-2, abs=1e-4)
 
+    @pytest.mark.slow  # gradient-vs-numeric checks stay fast; full fit loop is the slow part
     def test_fit_finds_rotated_direction(self):
         from rovinasemanticsegmentation_tpu.models.crf_learning import (
             DiagKernelCrfLearner,

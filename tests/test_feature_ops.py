@@ -440,6 +440,7 @@ class TestNormalsGridPath:
             grid = np.asarray(normal_angles_grid(jnp.asarray(pts), s))
             np.testing.assert_allclose(grid, full[::s, ::s], rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow  # grid path covered fast by test_grid_matches_full_res
     def test_grid_large_stride_phase_extent(self):
         # stride 8 on a 100x120 image: the last phase sub-images are short
         # without the exact back-padding (dynamic_slice would clamp).
@@ -458,6 +459,7 @@ class TestNormalsGridPath:
             grid = np.asarray(normal_angles_grid(jnp.asarray(pts), s))
             np.testing.assert_allclose(grid, full[::s, ::s], rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow  # per-variant saturated_matches_full cases stay fast
     def test_chamfer_variants_agree_end_to_end(self):
         """normal_angles_grid under the two saturated chamfer variants:
         the -2 masks must agree exactly; angles agree except where the two
@@ -531,6 +533,7 @@ class TestPatchesPallasParity:
     def test_stride1(self):
         self._compare(7, 3, 1, 17, 33, 1)
 
+    @pytest.mark.slow  # stride-2 + row-block parity cases stay fast
     def test_stride4_full_reduce(self):
         self._compare(11, 11, 4, 24, 40, 2)
 

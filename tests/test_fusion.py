@@ -273,6 +273,7 @@ class TestLocalMapPipeline:
         assert (labels[0][hit] == 1).all()
         assert (labels[1][hit] == 2).all()
 
+    @pytest.mark.slow  # per-map auto-selection both outcomes also run in dryrun_multichip
     def test_mesh_crf_auto_selection(self):
         """With a mesh, label_map picks the sharded CRF variant per map
         from the plan's comm volumes, and both choices match the

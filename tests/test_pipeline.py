@@ -217,6 +217,7 @@ class TestShardedCrf:
         )
         return unary, lattice, blocks, weight, iters, want
 
+    @pytest.mark.slow  # transposed-variant equality also asserted in dryrun_multichip
     def test_transposed_matches_single_device(self):
         """The production scale-out path (sorted-stream splat, [C, N]
         layout, one psum per filter) must match the single-device
@@ -252,6 +253,7 @@ class TestShardedCrf:
         assert plan.comms_per_filter > 0
         assert plan.replicated_comms_per_filter > 0
 
+    @pytest.mark.slow  # large-M variant; test_vertex_sharded_matches_single_device stays fast
     def test_vertex_sharded_large_surface_cloud(self):
         """Bigger, surface-structured cloud: many vertices, real halo and
         boundary traffic (the small random case leaves most routing

@@ -171,6 +171,7 @@ class TestSegmenterRuntime:
         assert (tmp_path / "cloud7_rgb.npz").exists()
         assert (tmp_path / "cloud7_layer_0.npz").exists()
 
+    @pytest.mark.slow  # batch==per-frame parity stays fast in test_batch_matches_per_frame
     def test_batched_frame_worker_matches_single(self):
         """Backlogged queues ride run_batch; results identical per frame."""
         from rovinasemanticsegmentation_tpu.pipelines.single_frame import (
