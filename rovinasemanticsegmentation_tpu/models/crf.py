@@ -138,8 +138,8 @@ class PairwisePotential:
             blur_n2=blur_n2,
         )
 
-    def _filter(self, q: jnp.ndarray, transpose: bool) -> jnp.ndarray:
-        """pairwise.cpp:63-80."""
+    def _pre_post(self, transpose: bool = False) -> Tuple[bool, bool]:
+        """Which side(s) of the filter the normalization rides (pairwise.cpp:63-80)."""
         nt = self.ntype
         pre = (
             nt == NormalizationType.NORMALIZE_SYMMETRIC
@@ -151,6 +151,11 @@ class PairwisePotential:
             or (nt == NormalizationType.NORMALIZE_BEFORE and transpose)
             or (nt == NormalizationType.NORMALIZE_AFTER and not transpose)
         )
+        return pre, post
+
+    def _filter(self, q: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+        """pairwise.cpp:63-80."""
+        pre, post = self._pre_post(transpose)
         out = q * self.norm[:, None] if pre else q
         out = lattice_filter(
             out,
@@ -176,6 +181,45 @@ class PairwisePotential:
 # ----------------------------------------------------------------------
 # DenseCRF
 # ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_iterations", "flags", "ms"))
+def _fused_potts_inference(
+    unary: jnp.ndarray,  # [N, C]
+    weights: jnp.ndarray,  # [K] Potts weights
+    norms: Tuple[jnp.ndarray, ...],  # K x [N]
+    latts: Tuple[Tuple[jnp.ndarray, ...], ...],  # K x (offsets, bary, n1, n2)
+    n_iterations: int,
+    flags: Tuple[Tuple[bool, bool], ...],  # K x (pre, post) normalization
+    ms: Tuple[int, ...],  # K x num_vertices (static: shapes the splat)
+) -> jnp.ndarray:
+    """The whole mean-field loop (densecrf.cpp:115-131) as ONE dispatch.
+
+    ``DenseCRF.step_inference`` runs eagerly — every jnp op inside
+    ``lattice_filter`` is its own device dispatch, and over the dev tunnel
+    each round trip costs ~5-35 ms, so a 5-iteration 2-kernel demo pays
+    hundreds of milliseconds of pure latency (the reference binary does
+    the same work in 214-303 ms total, BASELINE.md). Fusing the loop under
+    one jit with ``lax.fori_loop`` makes the demo latency-bound by a
+    single dispatch. The op sequence per iteration is IDENTICAL to the
+    step path (same filters, same normalization sides, same softmax), so
+    results match the step loop bit-for-bit up to XLA fusion.
+    """
+    q0 = exp_and_normalize(-unary)
+
+    def body(_, q):
+        tmp = -unary
+        for k in range(len(latts)):
+            pre, post = flags[k]
+            out = q * norms[k][:, None] if pre else q
+            out = lattice_filter(out, *latts[k], ms[k])
+            if post:
+                out = out * norms[k][:, None]
+            # Potts apply is -w*out; the step subtracts it (densecrf.cpp:121).
+            tmp = tmp + weights[k] * out
+        return exp_and_normalize(tmp)
+
+    return jax.lax.fori_loop(0, n_iterations, body, q0)
 
 
 def exp_and_normalize(x: jnp.ndarray) -> jnp.ndarray:
@@ -221,11 +265,43 @@ class DenseCRF:
             tmp1 = tmp1 - pw.apply(q)
         return exp_and_normalize(tmp1)
 
-    def inference(self, n_iterations: int) -> jnp.ndarray:
-        q = self.start_inference()
-        for _ in range(n_iterations):
-            q = self.step_inference(q)
-        return q
+    def inference(self, n_iterations: int, fused: Optional[bool] = None) -> jnp.ndarray:
+        """Mean-field marginals after ``n_iterations`` (densecrf.cpp:115-131).
+
+        ``fused=None`` auto-selects: all-Potts potentials run the whole
+        loop as one jitted dispatch (:func:`_fused_potts_inference`, the
+        TPU-sane path — the eager step loop costs one tunnel round trip
+        PER OP); anything else falls back to the readable step loop.
+        """
+        if fused is None:
+            fused = bool(self.pairwise) and all(
+                isinstance(pw.compatibility, PottsCompatibility)
+                for pw in self.pairwise
+            )
+        if not fused:
+            q = self.start_inference()
+            for _ in range(n_iterations):
+                q = self.step_inference(q)
+            return q
+        unary = (
+            self.unary
+            if self.unary is not None
+            else jnp.zeros((self.n, self.num_labels), jnp.float32)
+        )
+        return _fused_potts_inference(
+            unary,
+            jnp.asarray(
+                [pw.compatibility.weight for pw in self.pairwise], jnp.float32
+            ),
+            tuple(pw.norm for pw in self.pairwise),
+            tuple(
+                (pw.offsets, pw.barycentric, pw.blur_n1, pw.blur_n2)
+                for pw in self.pairwise
+            ),
+            n_iterations=n_iterations,
+            flags=tuple(pw._pre_post() for pw in self.pairwise),
+            ms=tuple(pw.lattice.num_vertices for pw in self.pairwise),
+        )
 
     def map(self, n_iterations: int) -> np.ndarray:
         """Per-point MAP labels (densecrf.cpp:132-137, 202-211)."""

@@ -453,3 +453,69 @@ class TestLatticePadding:
         lat = build_lattice(feats)
         padded = pad_lattice(lat, bucket=lat.num_vertices)
         assert padded is lat  # M already a bucket multiple
+
+
+class TestFusedInference:
+    """The one-dispatch fused loop == the readable step loop.
+
+    models/crf.py::_fused_potts_inference replays the identical op
+    sequence under lax.fori_loop; equality is tight (the only freedom is
+    XLA fusion). Two kernels with different feature dims exercise the
+    demo configuration (grid d=2 + bilateral d=5, dense_inference.cpp).
+    """
+
+    def _two_kernel_crf(self, ntype=None):
+        rng = np.random.default_rng(11)
+        n, c = 120, 5
+        unary = rng.normal(size=(n, c)).astype(np.float32)
+        f2 = rng.normal(size=(n, 2)).astype(np.float32)
+        f5 = rng.normal(size=(n, 5)).astype(np.float32)
+        crf = DenseCRF(n, c)
+        crf.set_unary_energy(unary)
+        kw = {} if ntype is None else {"ntype": ntype}
+        crf.add_pairwise_energy(f2, PottsCompatibility(3.0), **kw)
+        crf.add_pairwise_energy(f5, PottsCompatibility(10.0), **kw)
+        return crf
+
+    def test_fused_matches_step_loop(self):
+        crf = self._two_kernel_crf()
+        want = np.asarray(crf.inference(5, fused=False))
+        got = np.asarray(crf.inference(5, fused=True))
+        # XLA fuses the loop body differently from the eager op sequence;
+        # the divergence is a few ULPs compounding per iteration (measured
+        # max rel ~3e-6 at 5 iters on CPU), never an argmax flip here.
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+        assert (got.argmax(1) == want.argmax(1)).all()
+        # And the auto-selection picks the fused path for all-Potts.
+        auto = np.asarray(crf.inference(5))
+        np.testing.assert_array_equal(auto, got)
+
+    def test_fused_respects_normalization_modes(self):
+        from rovinasemanticsegmentation_tpu.models.crf import (
+            NormalizationType,
+        )
+
+        for nt in (
+            NormalizationType.NO_NORMALIZATION,
+            NormalizationType.NORMALIZE_BEFORE,
+            NormalizationType.NORMALIZE_AFTER,
+        ):
+            crf = self._two_kernel_crf(ntype=nt)
+            want = np.asarray(crf.inference(3, fused=False))
+            got = np.asarray(crf.inference(3, fused=True))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_non_potts_falls_back(self):
+        rng = np.random.default_rng(12)
+        n, c = 40, 3
+        crf = DenseCRF(n, c)
+        crf.set_unary_energy(rng.normal(size=(n, c)).astype(np.float32))
+        crf.add_pairwise_energy(
+            rng.normal(size=(n, 2)).astype(np.float32),
+            DiagonalCompatibility([-1.0, -2.0, -0.5]),
+        )
+        # Auto must take the step loop (no fused non-Potts path) and agree
+        # with the explicit step loop exactly.
+        auto = np.asarray(crf.inference(3))
+        step = np.asarray(crf.inference(3, fused=False))
+        np.testing.assert_array_equal(auto, step)
