@@ -183,7 +183,7 @@ class PairwisePotential:
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_iterations", "flags", "ms"))
+@partial(jax.jit, static_argnames=("n_iterations", "flags", "ms", "return_map"))
 def _fused_potts_inference(
     unary: jnp.ndarray,  # [N, C]
     weights: jnp.ndarray,  # [K] Potts weights
@@ -192,6 +192,7 @@ def _fused_potts_inference(
     n_iterations: int,
     flags: Tuple[Tuple[bool, bool], ...],  # K x (pre, post) normalization
     ms: Tuple[int, ...],  # K x num_vertices (static: shapes the splat)
+    return_map: bool = False,
 ) -> jnp.ndarray:
     """The whole mean-field loop (densecrf.cpp:115-131) as ONE dispatch.
 
@@ -204,6 +205,10 @@ def _fused_potts_inference(
     single dispatch. The op sequence per iteration is IDENTICAL to the
     step path (same filters, same normalization sides, same softmax), so
     results match the step loop bit-for-bit up to XLA fusion.
+
+    ``return_map=True`` folds the MAP argmax (densecrf.cpp:202-211) into
+    the same dispatch — ``jnp.argmax`` picks the first maximum, matching
+    the reference's strict-> scan — saving one more round trip.
     """
     q0 = exp_and_normalize(-unary)
 
@@ -219,7 +224,10 @@ def _fused_potts_inference(
             tmp = tmp + weights[k] * out
         return exp_and_normalize(tmp)
 
-    return jax.lax.fori_loop(0, n_iterations, body, q0)
+    q = jax.lax.fori_loop(0, n_iterations, body, q0)
+    if return_map:
+        return jnp.argmax(q, axis=1).astype(jnp.int32)
+    return q
 
 
 def exp_and_normalize(x: jnp.ndarray) -> jnp.ndarray:
@@ -274,21 +282,31 @@ class DenseCRF:
         PER OP); anything else falls back to the readable step loop.
         """
         if fused is None:
-            fused = bool(self.pairwise) and all(
-                isinstance(pw.compatibility, PottsCompatibility)
-                for pw in self.pairwise
-            )
+            fused = self._can_fuse()
         if not fused:
             q = self.start_inference()
             for _ in range(n_iterations):
                 q = self.step_inference(q)
             return q
+        return _fused_potts_inference(
+            *self._fused_args(), n_iterations=n_iterations,
+            flags=tuple(pw._pre_post() for pw in self.pairwise),
+            ms=tuple(pw.lattice.num_vertices for pw in self.pairwise),
+        )
+
+    def _can_fuse(self) -> bool:
+        return bool(self.pairwise) and all(
+            isinstance(pw.compatibility, PottsCompatibility)
+            for pw in self.pairwise
+        )
+
+    def _fused_args(self):
         unary = (
             self.unary
             if self.unary is not None
             else jnp.zeros((self.n, self.num_labels), jnp.float32)
         )
-        return _fused_potts_inference(
+        return (
             unary,
             jnp.asarray(
                 [pw.compatibility.weight for pw in self.pairwise], jnp.float32
@@ -298,13 +316,21 @@ class DenseCRF:
                 (pw.offsets, pw.barycentric, pw.blur_n1, pw.blur_n2)
                 for pw in self.pairwise
             ),
-            n_iterations=n_iterations,
-            flags=tuple(pw._pre_post() for pw in self.pairwise),
-            ms=tuple(pw.lattice.num_vertices for pw in self.pairwise),
         )
 
     def map(self, n_iterations: int) -> np.ndarray:
-        """Per-point MAP labels (densecrf.cpp:132-137, 202-211)."""
+        """Per-point MAP labels (densecrf.cpp:132-137, 202-211).
+
+        On the fused path the argmax rides the same dispatch as the
+        mean-field loop (one device round trip for the whole call).
+        """
+        if self._can_fuse():
+            return np.asarray(_fused_potts_inference(
+                *self._fused_args(), n_iterations=n_iterations,
+                flags=tuple(pw._pre_post() for pw in self.pairwise),
+                ms=tuple(pw.lattice.num_vertices for pw in self.pairwise),
+                return_map=True,
+            ))
         q = self.inference(n_iterations)
         return np.asarray(jnp.argmax(q, axis=1).astype(jnp.int32))
 
