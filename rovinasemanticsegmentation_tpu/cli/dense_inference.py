@@ -47,6 +47,26 @@ def _first_appearance_ids(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return uniq, ids[inverse], ids
 
 
+def annotation_energies() -> Tuple[float, float, float]:
+    """(unknown, non-matching, matching) unary energies (:37-41)."""
+    return (
+        -np.log(1.0 / M),
+        -np.log((1.0 - GT_PROB) / (M - 1)),
+        -np.log(GT_PROB),
+    )
+
+
+def annotation_labels(anno: np.ndarray) -> np.ndarray:
+    """Label map [N] from the annotation's packed colors (:43-49)."""
+    packed = (
+        anno[..., 0].astype(np.int32)
+        | (anno[..., 1].astype(np.int32) << 8)
+        | (anno[..., 2].astype(np.int32) << 16)
+    ).reshape(-1)
+    _, labels, _ = _first_appearance_ids(packed)
+    return labels
+
+
 def unary_from_annotation(anno: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Classify the annotation into labels + unary energies (:37-52).
 
@@ -54,16 +74,8 @@ def unary_from_annotation(anno: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     (0) is "unknown" (label -1). Returns (unary [N, M], labels [N]).
     """
     h, w = anno.shape[:2]
-    packed = (
-        anno[..., 0].astype(np.int32)
-        | (anno[..., 1].astype(np.int32) << 8)
-        | (anno[..., 2].astype(np.int32) << 16)
-    ).reshape(-1)
-    _, labels, _ = _first_appearance_ids(packed)
-
-    u_energy = -np.log(1.0 / M)
-    n_energy = -np.log((1.0 - GT_PROB) / (M - 1))
-    p_energy = -np.log(GT_PROB)
+    labels = annotation_labels(anno)
+    u_energy, n_energy, p_energy = annotation_energies()
     unary = np.full((h * w, M), u_energy, np.float32)
     known = labels >= 0
     unary[known] = n_energy
@@ -92,13 +104,14 @@ def run(image_path: str, anno_path: str, out_path: str, iterations: int = 5) -> 
     im = load_ppm(image_path)
     anno = load_ppm(anno_path)
     h, w = im.shape[:2]
-    unary, _ = unary_from_annotation(anno)
+    labels = annotation_labels(anno)
 
     crf = DenseCRF2D(w, h, M)
-    crf.set_unary_energy(unary)
     crf.add_pairwise_gaussian(3, 3, PottsCompatibility(3))
     crf.add_pairwise_bilateral(80, 80, 13, 13, 13, im, PottsCompatibility(10))
-    map_labels = crf.map(iterations)
+    # Unary built on device from the int8 label map (map_from_labels):
+    # same energies as unary_from_annotation, ~85x less upload.
+    map_labels = crf.map_from_labels(labels, annotation_energies(), iterations)
     result = colorize(map_labels, anno).reshape(h, w, 3)
     save_ppm(out_path, result)
     return map_labels.reshape(h, w)

@@ -95,13 +95,18 @@ Compatibility = Union[PottsCompatibility, DiagonalCompatibility, MatrixCompatibi
 class PairwisePotential:
     lattice: PermutohedralLattice
     compatibility: Compatibility
-    norm: jnp.ndarray  # [N] normalization vector (already inverted)
     ntype: NormalizationType
     # Device copies of the lattice tensors.
     offsets: jnp.ndarray = None
     barycentric: jnp.ndarray = None
     blur_n1: jnp.ndarray = None
     blur_n2: jnp.ndarray = None
+    # Lazy [N] normalization vector (already inverted): the eager step
+    # path and tests materialize it on first access; the fused inference
+    # recomputes the same formula in-dispatch so potential BUILD does no
+    # device work at all (the eager filter-of-ones was a few dozen tunnel
+    # round trips per potential in the measured demo span).
+    _norm_cache: Optional[jnp.ndarray] = None
 
     @classmethod
     def build(
@@ -111,32 +116,39 @@ class PairwisePotential:
         ntype: NormalizationType = NormalizationType.NORMALIZE_SYMMETRIC,
     ) -> "PairwisePotential":
         lattice = build_lattice(features)
-        offsets = jnp.asarray(lattice.offsets)
-        barycentric = jnp.asarray(lattice.barycentric)
-        blur_n1 = jnp.asarray(lattice.blur_n1)
-        blur_n2 = jnp.asarray(lattice.blur_n2)
-        n = features.shape[0]
-        ones = jnp.ones((n, 1), jnp.float32)
-        raw = lattice_filter(
-            ones, offsets, barycentric, blur_n1, blur_n2, lattice.num_vertices
-        )[:, 0]
-        # pairwise.cpp:46-61
-        if ntype == NormalizationType.NO_NORMALIZATION:
-            norm = jnp.full((n,), n / jnp.sum(raw))
-        elif ntype == NormalizationType.NORMALIZE_SYMMETRIC:
-            norm = 1.0 / jnp.sqrt(raw + 1e-20)
-        else:
-            norm = 1.0 / (raw + 1e-20)
         return cls(
             lattice=lattice,
             compatibility=compatibility,
-            norm=norm,
             ntype=ntype,
-            offsets=offsets,
-            barycentric=barycentric,
-            blur_n1=blur_n1,
-            blur_n2=blur_n2,
+            offsets=jnp.asarray(lattice.offsets),
+            barycentric=jnp.asarray(lattice.barycentric),
+            blur_n1=jnp.asarray(lattice.blur_n1),
+            blur_n2=jnp.asarray(lattice.blur_n2),
         )
+
+    def _norm_from_raw(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """pairwise.cpp:46-61 (raw = lattice filter of all-ones)."""
+        n = raw.shape[0]
+        if self.ntype == NormalizationType.NO_NORMALIZATION:
+            return jnp.full((n,), n / jnp.sum(raw))
+        if self.ntype == NormalizationType.NORMALIZE_SYMMETRIC:
+            return 1.0 / jnp.sqrt(raw + 1e-20)
+        return 1.0 / (raw + 1e-20)
+
+    @property
+    def norm(self) -> jnp.ndarray:
+        if self._norm_cache is None:
+            n = self.offsets.shape[0]
+            raw = lattice_filter(
+                jnp.ones((n, 1), jnp.float32),
+                self.offsets,
+                self.barycentric,
+                self.blur_n1,
+                self.blur_n2,
+                self.lattice.num_vertices,
+            )[:, 0]
+            self._norm_cache = self._norm_from_raw(raw)
+        return self._norm_cache
 
     def _pre_post(self, transpose: bool = False) -> Tuple[bool, bool]:
         """Which side(s) of the filter the normalization rides (pairwise.cpp:63-80)."""
@@ -183,16 +195,38 @@ class PairwisePotential:
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_iterations", "flags", "ms", "return_map"))
+def _norm_from_raw_static(raw: jnp.ndarray, flag_pair: Tuple[bool, bool]) -> jnp.ndarray:
+    """Normalization vector from the all-ones filter (pairwise.cpp:46-61).
+
+    The (pre, post) application flags identify the mode uniquely at
+    transpose=False: (True, True) = SYMMETRIC, exactly one = BEFORE/AFTER
+    (same inverse formula), (False, False) = NO_NORMALIZATION (vector
+    unused by the filter; the global-scale formula kept for completeness).
+    """
+    pre, post = flag_pair
+    if pre and post:
+        return 1.0 / jnp.sqrt(raw + 1e-20)
+    if pre or post:
+        return 1.0 / (raw + 1e-20)
+    n = raw.shape[0]
+    return jnp.full((n,), n / jnp.sum(raw))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_iterations", "flags", "ms", "return_map", "num_labels"),
+)
 def _fused_potts_inference(
-    unary: jnp.ndarray,  # [N, C]
+    unary: jnp.ndarray,  # [N, C] energies, OR [N] int labels (num_labels set)
     weights: jnp.ndarray,  # [K] Potts weights
-    norms: Tuple[jnp.ndarray, ...],  # K x [N]
+    norms: Tuple[jnp.ndarray, ...],  # K x [N], OR () to compute in-dispatch
     latts: Tuple[Tuple[jnp.ndarray, ...], ...],  # K x (offsets, bary, n1, n2)
     n_iterations: int,
     flags: Tuple[Tuple[bool, bool], ...],  # K x (pre, post) normalization
     ms: Tuple[int, ...],  # K x num_vertices (static: shapes the splat)
     return_map: bool = False,
+    num_labels: int = 0,
+    label_energies: Optional[jnp.ndarray] = None,  # [3] (u, n, p) energies
 ) -> jnp.ndarray:
     """The whole mean-field loop (densecrf.cpp:115-131) as ONE dispatch.
 
@@ -206,10 +240,38 @@ def _fused_potts_inference(
     step path (same filters, same normalization sides, same softmax), so
     results match the step loop bit-for-bit up to XLA fusion.
 
-    ``return_map=True`` folds the MAP argmax (densecrf.cpp:202-211) into
-    the same dispatch — ``jnp.argmax`` picks the first maximum, matching
-    the reference's strict-> scan — saving one more round trip.
+    Transfer-thrift extras (the dev tunnel moves ~40 MB/s, so payload IS
+    latency):
+
+    - ``norms=()`` recomputes each potential's normalization vector
+      (filter of all-ones, pairwise.cpp:46-61) inside the dispatch
+      instead of shipping K x [N] f32 vectors built eagerly.
+    - ``num_labels=C`` + ``label_energies=(u, n, p)`` treats ``unary`` as
+      an [N] int label map and builds the [N, C] unary energies on device
+      (dense_inference.cpp:37-52: unknown -> u everywhere; known -> n
+      everywhere, p at the label) — a [N] int8 upload instead of [N, C]
+      f32 (6.5 MB -> 77 KB at the demo's 76.8k x 21).
+    - ``return_map=True`` folds the MAP argmax (densecrf.cpp:202-211)
+      into the same dispatch — ``jnp.argmax`` picks the first maximum,
+      matching the reference's strict-> scan.
     """
+    if num_labels:
+        labels = unary.astype(jnp.int32)  # [N]
+        u_e, n_e, p_e = (label_energies[i] for i in range(3))
+        known = labels >= 0
+        base = jnp.where(known, n_e, u_e)[:, None]  # [N, 1]
+        onehot = labels[:, None] == jnp.arange(num_labels, dtype=jnp.int32)
+        unary = jnp.where(onehot, p_e, base)
+    if not norms:
+        norms = tuple(
+            _norm_from_raw_static(
+                lattice_filter(
+                    jnp.ones((unary.shape[0], 1), jnp.float32), *latts[k], ms[k]
+                )[:, 0],
+                flags[k],
+            )
+            for k in range(len(latts))
+        )
     q0 = exp_and_normalize(-unary)
 
     def body(_, q):
@@ -288,10 +350,14 @@ class DenseCRF:
             for _ in range(n_iterations):
                 q = self.step_inference(q)
             return q
+        unary = (
+            self.unary
+            if self.unary is not None
+            else jnp.zeros((self.n, self.num_labels), jnp.float32)
+        )
         return _fused_potts_inference(
-            *self._fused_args(), n_iterations=n_iterations,
-            flags=tuple(pw._pre_post() for pw in self.pairwise),
-            ms=tuple(pw.lattice.num_vertices for pw in self.pairwise),
+            unary, *self._fused_args(), n_iterations=n_iterations,
+            **self._fused_statics(),
         )
 
     def _can_fuse(self) -> bool:
@@ -301,21 +367,56 @@ class DenseCRF:
         )
 
     def _fused_args(self):
-        unary = (
-            self.unary
-            if self.unary is not None
-            else jnp.zeros((self.n, self.num_labels), jnp.float32)
-        )
+        # norms=(): the normalization vectors are recomputed inside the
+        # dispatch (transfer + eager-build thrift; see _fused_potts_inference).
         return (
-            unary,
             jnp.asarray(
                 [pw.compatibility.weight for pw in self.pairwise], jnp.float32
             ),
-            tuple(pw.norm for pw in self.pairwise),
+            (),
             tuple(
                 (pw.offsets, pw.barycentric, pw.blur_n1, pw.blur_n2)
                 for pw in self.pairwise
             ),
+        )
+
+    def _fused_statics(self):
+        return dict(
+            flags=tuple(pw._pre_post() for pw in self.pairwise),
+            ms=tuple(pw.lattice.num_vertices for pw in self.pairwise),
+        )
+
+    def map_from_labels(
+        self,
+        labels: np.ndarray,  # [N] int, -1 = unknown
+        energies: Tuple[float, float, float],  # (u, n, p) energies
+        n_iterations: int,
+    ) -> np.ndarray:
+        """MAP labels with the unary BUILT ON DEVICE from a label map.
+
+        dense_inference.cpp:37-52 semantics: unknown points get the
+        uniform energy ``u`` for every class; known points get ``n``
+        everywhere and ``p`` at their label. Uploading the [N] int8 label
+        map instead of the [N, C] f32 energies cuts the demo's dominant
+        host->device transfer ~85x (6.5 MB -> 77 KB at 76.8k x 21; the
+        dev tunnel moves ~40 MB/s). Requires all-Potts potentials.
+        """
+        if not self._can_fuse():
+            raise ValueError("map_from_labels requires all-Potts potentials")
+        labels = np.asarray(labels)
+        dtype = np.int8 if self.num_labels < 128 else np.int32
+        return np.asarray(
+            _fused_potts_inference(
+                jnp.asarray(labels.astype(dtype)),
+                *self._fused_args(),
+                n_iterations=n_iterations,
+                **self._fused_statics(),
+                return_map=True,
+                num_labels=self.num_labels,
+                label_energies=jnp.asarray(
+                    np.asarray(energies, np.float32)
+                ),
+            )
         )
 
     def map(self, n_iterations: int) -> np.ndarray:
@@ -325,11 +426,14 @@ class DenseCRF:
         mean-field loop (one device round trip for the whole call).
         """
         if self._can_fuse():
+            unary = (
+                self.unary
+                if self.unary is not None
+                else jnp.zeros((self.n, self.num_labels), jnp.float32)
+            )
             return np.asarray(_fused_potts_inference(
-                *self._fused_args(), n_iterations=n_iterations,
-                flags=tuple(pw._pre_post() for pw in self.pairwise),
-                ms=tuple(pw.lattice.num_vertices for pw in self.pairwise),
-                return_map=True,
+                unary, *self._fused_args(), n_iterations=n_iterations,
+                **self._fused_statics(), return_map=True,
             ))
         q = self.inference(n_iterations)
         return np.asarray(jnp.argmax(q, axis=1).astype(jnp.int32))

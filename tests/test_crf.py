@@ -519,3 +519,23 @@ class TestFusedInference:
         auto = np.asarray(crf.inference(3))
         step = np.asarray(crf.inference(3, fused=False))
         np.testing.assert_array_equal(auto, step)
+
+    def test_map_from_labels_matches_host_unary(self):
+        """Device-built unary (int8 label upload) == host-built unary.
+
+        Same energies, same formula (dense_inference.cpp:37-52); the only
+        difference is WHERE the [N, C] energy matrix materializes.
+        """
+        rng = np.random.default_rng(13)
+        crf = self._two_kernel_crf()
+        n, c = crf.n, crf.num_labels
+        labels = rng.integers(-1, c, size=n).astype(np.int32)
+        u_e, n_e, p_e = 1.25, 0.75, 0.5
+        unary = np.full((n, c), u_e, np.float32)
+        known = labels >= 0
+        unary[known] = n_e
+        unary[known, labels[known]] = p_e
+        crf.set_unary_energy(unary)
+        want = crf.map(4)
+        got = crf.map_from_labels(labels, (u_e, n_e, p_e), 4)
+        np.testing.assert_array_equal(got, want)
