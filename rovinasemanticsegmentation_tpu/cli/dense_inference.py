@@ -100,18 +100,41 @@ def colorize(map_labels: np.ndarray, anno: np.ndarray) -> np.ndarray:
     return palette[map_labels]
 
 
-def run(image_path: str, anno_path: str, out_path: str, iterations: int = 5) -> np.ndarray:
+def run(
+    image_path: str,
+    anno_path: str,
+    out_path: str,
+    iterations: int = 5,
+    device_build: bool | None = None,
+) -> np.ndarray:
+    from ..utils import tuning
+
     im = load_ppm(image_path)
     anno = load_ppm(anno_path)
     h, w = im.shape[:2]
     labels = annotation_labels(anno)
 
-    crf = DenseCRF2D(w, h, M)
-    crf.add_pairwise_gaussian(3, 3, PottsCompatibility(3))
-    crf.add_pairwise_bilateral(80, 80, 13, 13, 13, im, PottsCompatibility(10))
-    # Unary built on device from the int8 label map (map_from_labels):
-    # same energies as unary_from_annotation, ~85x less upload.
-    map_labels = crf.map_from_labels(labels, annotation_energies(), iterations)
+    if device_build is None:
+        # Measured decision (bench_dense_inference records the winner;
+        # both paths are golden-parity-verified on all three demo pairs).
+        device_build = bool(tuning.get("dense2d_device_build", False))
+    if device_build:
+        from ..models.crf2d_device import dense2d_map_from_labels_device
+
+        map_labels = dense2d_map_from_labels_device(
+            im, labels, annotation_energies(), M, iterations
+        )
+    else:
+        crf = DenseCRF2D(w, h, M)
+        crf.add_pairwise_gaussian(3, 3, PottsCompatibility(3))
+        crf.add_pairwise_bilateral(
+            80, 80, 13, 13, 13, im, PottsCompatibility(10)
+        )
+        # Unary built on device from the int8 label map (map_from_labels):
+        # same energies as unary_from_annotation, ~85x less upload.
+        map_labels = crf.map_from_labels(
+            labels, annotation_energies(), iterations
+        )
     result = colorize(map_labels, anno).reshape(h, w, 3)
     save_ppm(out_path, result)
     return map_labels.reshape(h, w)

@@ -36,49 +36,43 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ccache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from rovinasemanticsegmentation_tpu.cli.dense_inference import (
-    colorize,
-    unary_from_annotation,
-)
-from rovinasemanticsegmentation_tpu.models.crf import (
-    DenseCRF2D,
-    PottsCompatibility,
-)
-from rovinasemanticsegmentation_tpu.utils.imageio import load_ppm, save_ppm
+from rovinasemanticsegmentation_tpu.cli.dense_inference import run
+from rovinasemanticsegmentation_tpu.utils.imageio import load_ppm
 
 M = 21
 EXAMPLES = "/root/reference/third-party/densecrf/examples"
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "tests", "golden"
+)
 
 
-def one_pass(im_path, anno_path, out_path, eps):
-    """The reference's full timed span, with an epsilon unary perturbation."""
-    im = load_ppm(im_path)
-    anno = load_ppm(anno_path)
-    h, w = im.shape[:2]
-    unary, _ = unary_from_annotation(anno)
-    unary = unary.copy()
-    unary[0, 0] += eps  # defeat execution memoization, not the math
-    crf = DenseCRF2D(w, h, M)
-    crf.set_unary_energy(unary)
-    crf.add_pairwise_gaussian(3, 3, PottsCompatibility(3))
-    crf.add_pairwise_bilateral(80, 80, 13, 13, 13, im, PottsCompatibility(10))
-    map_labels = crf.map(5)  # dense_inference.cpp:97 (5 iterations)
-    result = colorize(map_labels, anno).reshape(h, w, 3)
-    save_ppm(out_path, result)
-    return map_labels
+def one_pass(im_path, anno_path, out_path, rep, device_build):
+    """The reference's full timed span: the CLI itself, load -> save.
+
+    The axon runtime memoizes same-input executions (ROADMAP benchmarking
+    rules), so warm reps must vary the dispatch inputs: rep > 0 runs
+    against an annotation copy with one pixel recolored to another color
+    already present in the image. The label work is shape- and
+    cost-identical; only the uploaded label values differ. rep 0 is the
+    pristine pass used for the golden-parity check.
+    """
+    if rep:
+        anno = load_ppm(anno_path)
+        flat = anno.reshape(-1, 3)
+        donors = np.unique(flat[np.any(flat != 0, axis=1)], axis=0)
+        flat[rep % 7] = donors[rep % len(donors)]
+        anno_path = f"/tmp/dense_anno_rep{rep}.ppm"
+        from rovinasemanticsegmentation_tpu.utils.imageio import save_ppm
+
+        save_ppm(anno_path, anno)
+    return run(im_path, anno_path, out_path, device_build=device_build)
 
 
-def main():
-    from rovinasemanticsegmentation_tpu.utils import tpu_lock
-
-    if not tpu_lock.acquire():
-        print("tpu_lock: held past timeout; skipping TPU bench",
-              file=sys.stderr)
-        raise SystemExit(3)
-    out = {}
-    cold_ms = None
+def _measure_path(device_build, deadline_guard):
+    """Best-of-3 warm per image for one path + golden parity of rep 0."""
+    out, cold_ms, parity = {}, None, True
     for i in (1, 2, 3):
-        if out and tpu_lock.deadline_expired(margin_s=120):
+        if out and deadline_guard():
             print("TPUQ_DEADLINE_S reached; reporting measured images only",
                   file=sys.stderr)
             break
@@ -86,31 +80,67 @@ def main():
         anno = f"{EXAMPLES}/anno{i}.ppm"
         dst = f"/tmp/dense_out{i}.ppm"
         t0 = time.perf_counter()
-        one_pass(im, anno, dst, 0.0)
+        one_pass(im, anno, dst, 0, device_build)
         first = (time.perf_counter() - t0) * 1000.0
         if cold_ms is None:
             cold_ms = first
+        same = np.array_equal(
+            load_ppm(dst), load_ppm(f"{GOLDEN}/out{i}_ref.ppm")
+        )
+        parity &= bool(same)
         best = 1e18
         for rep in range(1, 4):
             t0 = time.perf_counter()
-            one_pass(im, anno, dst, rep * 1e-5)
+            one_pass(im, anno, dst, rep, device_build)
             best = min(best, (time.perf_counter() - t0) * 1000.0)
         out[f"im{i}"] = round(best, 1)
-        print(f"im{i}: warm best {best:.1f} ms (first {first:.1f} ms)",
-              file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "dense_inference_ms_per_image",
-                "value": round(max(out.values()), 1),
-                "unit": "ms (best-of-3 warm, full span incl. IO + lattice build)",
-                "vs_baseline": round(max(out.values()) / 303.0, 3),
-                "per_image": out,
-                "cold_first_ms": round(cold_ms, 1),
-                "reference_ms": "214-303 (in-env C++ -O2, BASELINE.md)",
-            }
+        print(
+            f"im{i} device_build={device_build}: warm best {best:.1f} ms "
+            f"(first {first:.1f} ms, golden={'OK' if same else 'MISMATCH'})",
+            file=sys.stderr,
         )
-    )
+    return out, cold_ms, parity
+
+
+def main():
+    from rovinasemanticsegmentation_tpu.utils import tpu_lock, tuning
+
+    if not tpu_lock.acquire():
+        print("tpu_lock: held past timeout; skipping TPU bench",
+              file=sys.stderr)
+        raise SystemExit(3)
+    guard = lambda: tpu_lock.deadline_expired(margin_s=120)  # noqa: E731
+    host_out, host_cold, host_par = _measure_path(False, guard)
+    dev_out, dev_cold, dev_par = _measure_path(True, guard)
+
+    candidates = {}
+    if host_out and host_par:
+        candidates[False] = max(host_out.values())
+    if dev_out and dev_par:
+        candidates[True] = max(dev_out.values())
+    record = {
+        "metric": "dense_inference_ms_per_image",
+        "unit": "ms (best-of-3 warm, full span incl. IO + lattice build)",
+        "per_image_host_build": host_out,
+        "per_image_device_build": dev_out,
+        "golden_parity": {"host": host_par, "device": dev_par},
+        "cold_first_ms": {"host": host_cold, "device": dev_cold},
+        "reference_ms": "214-303 (in-env C++ -O2, BASELINE.md)",
+    }
+    if candidates:
+        winner = min(candidates, key=candidates.get)
+        record["value"] = round(candidates[winner], 1)
+        record["vs_baseline"] = round(candidates[winner] / 303.0, 3)
+        record["device_build_wins"] = bool(winner)
+        if len(candidates) == 2 and jax.default_backend() == "tpu":
+            # Record only a compiled, golden-parity-verified winner.
+            tuning.record(
+                "dense2d_device_build", bool(winner),
+                {"host_ms": candidates.get(False),
+                 "device_ms": candidates.get(True),
+                 "script": "bench_dense_inference.py"},
+            )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -177,6 +177,26 @@ class TestDenseInferenceDemo:
         run(self.REF + "/im1.ppm", self.REF + "/anno1.ppm", out)
         np.testing.assert_array_equal(load_ppm(out), load_ppm(golden))
 
+    @pytest.mark.skipif(
+        not os.path.exists(REF + "/im1.ppm"), reason="reference PPMs absent"
+    )
+    def test_device_build_golden_parity(self, tmp_path):
+        """The fully-on-device demo path (models/crf2d_device.py — image
+        in, MAP out, one dispatch, lattices built on device) must match
+        the same compiled-reference golden pixel-for-pixel as the
+        host-build path; bench_dense_inference only decides which is
+        FASTER, never which is right."""
+        from rovinasemanticsegmentation_tpu.cli.dense_inference import run
+        from rovinasemanticsegmentation_tpu.utils.imageio import load_ppm
+
+        golden = os.path.join(
+            os.path.dirname(__file__), "golden", "out1_ref.ppm"
+        )
+        out = str(tmp_path / "out_dev.ppm")
+        run(self.REF + "/im1.ppm", self.REF + "/anno1.ppm", out,
+            device_build=True)
+        np.testing.assert_array_equal(load_ppm(out), load_ppm(golden))
+
 
 @pytest.mark.slow
 class TestDenseLearningDemo:
