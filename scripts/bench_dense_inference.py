@@ -8,10 +8,15 @@ BASELINE.md round-3 row). This measures the TPU CLI
 load -> unary -> CRF setup (incl. host lattice builds) -> mean field ->
 colorize -> save.
 
+Measures BOTH demo paths — host lattice build (models/crf.py) and the
+fully-on-device build (models/crf2d_device.py) — verifies each against
+the compiled-reference goldens, and records the faster one in
+TUNING.json (``dense2d_device_build``, compiled measurements only).
+
 Timing rules (ROADMAP.md): the runtime memoizes identical executions, so
-each timed repeat perturbs the unary by a numerically irrelevant epsilon
-(one pixel, 1e-5 * rep — far below the energy scale) to force a real
-execution; results are materialized via np.asarray inside crf.map.
+each warm repeat recolors one annotation pixel (shape- and cost-identical
+label work, different uploaded values) to force a real execution; rep 0
+stays pristine for the golden-parity check.
 
 Prints one JSON line with per-image best-of-3 warm wall times and the
 cold (compile-included) first-run time.

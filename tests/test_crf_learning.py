@@ -197,6 +197,37 @@ class TestDenseInferenceDemo:
             device_build=True)
         np.testing.assert_array_equal(load_ppm(out), load_ppm(golden))
 
+    @pytest.mark.skipif(
+        not os.path.exists(REF + "/im1.ppm"), reason="reference PPMs absent"
+    )
+    def test_device_build_bucket_overflow_retry(self):
+        """Starting the device build at a deliberately undersized vertex
+        bucket must escalate (x4) and converge to the same MAP labels as
+        a comfortably-sized first guess — the padded-build overflow
+        contract (build_lattice_device) at the demo surface."""
+        from rovinasemanticsegmentation_tpu.cli.dense_inference import (
+            annotation_energies,
+            annotation_labels,
+        )
+        from rovinasemanticsegmentation_tpu.models.crf2d_device import (
+            dense2d_map_from_labels_device,
+        )
+        from rovinasemanticsegmentation_tpu.utils.imageio import load_ppm
+
+        im = load_ppm(self.REF + "/im1.ppm")[:60, :80]
+        anno = load_ppm(self.REF + "/anno1.ppm")[:60, :80]
+        labels = annotation_labels(anno)
+        kwargs = dict(
+            energies=annotation_energies(), num_labels=21, n_iterations=3
+        )
+        want = dense2d_map_from_labels_device(
+            im, labels, m_bucket=1 << 14, **kwargs
+        )
+        got = dense2d_map_from_labels_device(
+            im, labels, m_bucket=64, **kwargs
+        )
+        np.testing.assert_array_equal(got, want)
+
 
 @pytest.mark.slow
 class TestDenseLearningDemo:
