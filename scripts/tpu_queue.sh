@@ -17,17 +17,19 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpuq
 
 probe() {
-    # If another TPU client holds the machine-wide lock (e.g. the driver's
-    # end-of-round bench.py), the tunnel is in USE — do not launch a probe
-    # client alongside it (a second client contends invisibly and perturbs
-    # the measurement). Report "not ready" and re-check after the sleep;
-    # once the lock frees, the real probe runs and the plan's own steps
-    # take the lock through tpu_lock.acquire.
-    if ! flock -n /tmp/tpuq/tpu.lock true 2>/dev/null; then
-        echo "lock held by another TPU client; deferring probe" >/tmp/tpuq/probe.log
-        return 1
-    fi
-    timeout 360 python -c "import jax; print(jax.devices())" >/tmp/tpuq/probe.log 2>&1
+    # The probe client runs UNDER the machine-wide lock, not after a
+    # separate check: a check-then-probe gap would let the driver's
+    # end-of-round bench.py start mid-probe and run alongside it (a
+    # second client contends invisibly and perturbs the measurement).
+    # -w 60 bounds the wait — if another TPU client holds the lock for
+    # longer, report "not ready" and re-check after the sleep; once the
+    # lock frees, the real probe runs and the plan's own steps take the
+    # same lock through tpu_lock.acquire. Killing the probe on its
+    # 360 s timeout is safe: a stateless jax.devices() init hang is the
+    # documented kill-safe case (unlike a client mid-remote-compile).
+    flock -w 60 /tmp/tpuq/tpu.lock \
+        timeout 360 python -c "import jax; print(jax.devices())" \
+        >/tmp/tpuq/probe.log 2>&1
 }
 
 echo "$(date) waiting for TPU..." >> /tmp/tpuq/queue.log
