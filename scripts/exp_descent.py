@@ -149,7 +149,8 @@ def _descent_kernel_v(
                 )  # [128, S]: wt[l, s] = word of point s*128+l
                 rep_blocks = []
                 for s in range(s_rows):
-                    col = jax.lax.dynamic_slice(wt, (0, s), (LANES, 1))
+                    # Static slice: Mosaic TC has no dynamic_slice lowering.
+                    col = wt[:, s : s + 1]
                     rep_blocks.append(
                         jnp.broadcast_to(col, (LANES, LANES)).astype(jnp.int32)
                     )
