@@ -76,6 +76,14 @@ class TrainerConfig:
     # differs, so individual trees differ between the two modes while both
     # stay seed-deterministic.
     device_growth: bool = True
+    # > 0 switches the device-growth split search from the exact
+    # sort-based sweep to the sort-free binned (histogram) sweep with this
+    # many dataset-wide quantile bins per feature (build_feature_bins).
+    # Candidates restrict to global bin boundaries — statistically
+    # equivalent splits (XGBoost-style global sketch; near-exact for the
+    # 363/366 integer-valued Lab features), MUCH faster on TPU where a
+    # sort costs ~50x a scatter at these sizes. 0 = exact mode.
+    split_bins: int = 0
 
     @classmethod
     def from_config(cls, conf: Config, seed: int = 0) -> "TrainerConfig":
@@ -264,6 +272,183 @@ def multi_slot_split_search(
     return outs  # each [K, F]
 
 
+# ======================================================================
+# Binned (histogram) split search — the sort-free device-fast mode
+# ======================================================================
+
+
+@partial(jax.jit, static_argnames=("num_bins",))
+def build_feature_bins(
+    x_full: jnp.ndarray,  # [N, D] f32
+    num_bins: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-time per-feature quantile binning for the binned split search.
+
+    Returns ``(xb [N, D] int32 bin indices, boundaries [D, B-1] f32)``.
+    Boundaries sit at VALUE-TRANSITION midpoints of the sorted column
+    (0.5*(v_i + v_{i+1}) where v_i != v_{i+1}), picked evenly over the
+    column's transitions: a feature with <= B-1 distinct-value gaps gets
+    EVERY gap as a candidate (the exact sweep's full candidate set —
+    this covers the 363/366 integer-valued Lab patch features at B=256),
+    while a continuous feature degrades to rank quantiles (every rank is
+    a transition — the XGBoost-style global sketch). Rank-positioned
+    quantiles alone land inside duplicate runs on integer data and MISS
+    distinct-value gaps (measured ~2% held-out accuracy loss).
+
+    The bin index is VALUE-based — ``bin(x) = #(t <= x)`` — so equal
+    feature values always share a bin and ``bin(x) <= j <=> x < t[d, j]``
+    holds exactly: a split "left = bins <= j" corresponds exactly to the
+    float descent rule ``x >= t`` (classifier.cpp:107) with the boundary
+    stored as the node threshold. Statistical, not bit, parity with the
+    exact mode (held-out accuracy asserted in tests/test_trainer.py).
+    """
+    n, d = x_full.shape
+    b = num_bins
+    xs = jax.lax.sort(x_full, dimension=0)  # per-column sort, once
+    mid = 0.5 * (xs[:-1, :] + xs[1:, :])  # [n-1, D] candidate midpoints
+    is_trans = (xs[1:, :] != xs[:-1, :]).astype(jnp.int32)  # [n-1, D]
+    cums = jnp.cumsum(is_trans, axis=0)  # [n-1, D]
+    count = cums[-1, :]  # [D] distinct-value gaps per feature
+
+    def col_boundaries(cums_col, mid_col, count_col):
+        # k-th boundary = midpoint of transition ordinal
+        # floor((k+1)*count/B) + 1 (1-indexed, in 1..count): all
+        # transitions when count <= B-1, an even spread otherwise.
+        k = jnp.arange(1, b, dtype=jnp.int32)
+        target = (k * count_col) // b + 1
+        pos = jnp.searchsorted(cums_col, target, side="left")
+        t = jnp.take(mid_col, jnp.clip(pos, 0, mid_col.shape[0] - 1))
+        return jnp.where(count_col > 0, t, jnp.inf)
+
+    boundaries = jax.vmap(col_boundaries, in_axes=(1, 1, 0))(
+        cums, mid, count
+    )  # [D, B-1]
+
+    def col_bins(t_col, x_col):
+        return jnp.searchsorted(t_col, x_col, side="right").astype(jnp.int32)
+
+    xb = jax.vmap(col_bins, in_axes=(0, 1), out_axes=1)(boundaries, x_full)
+    return xb, boundaries
+
+
+def _binned_slot_search(
+    bv: jnp.ndarray,  # [Ns] bin index per example for this slot's feature
+    seg: jnp.ndarray,  # [Ns] frontier slot (num_segments = inactive/masked)
+    cls: jnp.ndarray,  # [Ns] class label per example (node's chosen layer)
+    class_weights: jnp.ndarray,  # [C]
+    num_segments: int,
+    num_classes: int,
+    num_bins: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Best boundary per frontier node for one feature slot — sort-free.
+
+    One scatter-add builds per-(node, class, bin) counts; a cumsum over
+    bins gives every candidate's left histogram at once; the weighted
+    entropy sweep and per-node argmin mirror :func:`split_search_step`'s
+    objective (learning.cpp:563-600) over the boundary candidate set.
+    Returns (objective [F], boundary index [F], left/right mass [F]).
+    Layout [F, C, B]: bins ride the 128-lane axis (C = 9 would waste
+    119 of 128 lanes there), and the bin cumsum is a lane-wise prefix.
+    """
+    f, c, b = num_segments, num_classes, num_bins
+    active = seg < f
+    key = (jnp.minimum(seg, f - 1) * c + cls) * b + jnp.minimum(bv, b - 1)
+    key = jnp.where(active, key, f * c * b)
+    hist = (
+        jnp.zeros((f * c * b,), jnp.float32)
+        .at[key]
+        .add(1.0, mode="drop")
+        .reshape(f, c, b)
+    )
+    left = jnp.cumsum(hist, axis=2)[:, :, : b - 1]  # [F, C, B-1]
+    tot = hist.sum(axis=2)  # [F, C]
+    right = tot[:, :, None] - left
+    left_mass = left.sum(axis=1)  # [F, B-1]
+    right_mass = right.sum(axis=1)
+    wl = left * class_weights[None, :, None]
+    wr = right * class_weights[None, :, None]
+
+    def ent(h):  # unnormalized entropy over the class axis (axis=1)
+        m = h.sum(axis=1)
+        term = jnp.where(h > 0, -h * jnp.log2(jnp.maximum(h, 1e-30)), 0.0)
+        mt = jnp.where(m > 0, m * jnp.log2(jnp.maximum(m, 1e-30)), 0.0)
+        return term.sum(axis=1) + mt
+
+    objective = jnp.where(
+        (left_mass > 0) & (right_mass > 0), ent(wl) + ent(wr), jnp.inf
+    )  # [F, B-1]
+    bidx = jnp.argmin(objective, axis=1).astype(jnp.int32)  # first minimum
+    best_obj = jnp.take_along_axis(objective, bidx[:, None], axis=1)[:, 0]
+    best_lm = jnp.take_along_axis(left_mass, bidx[:, None], axis=1)[:, 0]
+    best_rm = jnp.take_along_axis(right_mass, bidx[:, None], axis=1)[:, 0]
+    return best_obj, bidx, best_lm, best_rm
+
+
+@partial(
+    jax.jit, static_argnames=("num_segments", "num_classes", "num_bins")
+)
+def multi_slot_split_search_binned(
+    xb: jnp.ndarray,  # [Ns, D] int32 bin indices
+    boundaries: jnp.ndarray,  # [D, B-1] f32
+    feats: jnp.ndarray,  # [F, K]
+    seg: jnp.ndarray,  # [Ns]
+    seg_search: jnp.ndarray,  # [Ns] masked
+    cls: jnp.ndarray,  # [Ns]
+    class_weights: jnp.ndarray,  # [C]
+    num_segments: int,
+    num_classes: int,
+    num_bins: int,
+):
+    """All K feature slots of one level, binned: the exact-mode scan's
+    three ~Ns-element sorts per slot (main sort + 2x searchsorted
+    method="sort") become one scatter + histogram sweep per slot.
+    Returns (objective [K, F], threshold [K, F], left/right mass [K, F])
+    with thresholds resolved from the boundary table."""
+    seg_c = jnp.minimum(seg, num_segments - 1)
+    feat_all = jnp.take(feats, seg_c, axis=0)  # [Ns, K]
+    bins_all = jnp.take_along_axis(xb, feat_all, axis=1)  # [Ns, K]
+
+    def one_slot(carry, bv):
+        return carry, _binned_slot_search(
+            bv, seg_search, cls, class_weights,
+            num_segments, num_classes, num_bins,
+        )
+
+    _, (obj, bidx, lm, rm) = jax.lax.scan(
+        one_slot, jnp.int32(0), bins_all.T
+    )
+    # Threshold per (slot, node) from the global boundary table.
+    thr = boundaries[feats.T, bidx]  # [K, F]
+    return obj, thr, lm, rm
+
+
+@partial(jax.jit, static_argnames=("num_segments", "num_classes", "num_layers"))
+def node_stats_scatter(
+    seg: jnp.ndarray,  # [Ns]
+    labels: jnp.ndarray,  # [Ns, L]
+    num_segments: int,
+    num_classes: int,
+    num_layers: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mass [F], distinct-class count per layer [F, L]) via one
+    scatter-add — the binned mode's sort-free :func:`node_stats_step`."""
+    f, c, l = num_segments, num_classes, num_layers
+    active = seg < f
+    keys = (
+        jnp.minimum(seg, f - 1)[:, None] * l + jnp.arange(l)[None, :]
+    ) * c + labels  # [Ns, L]
+    keys = jnp.where(active[:, None], keys, f * l * c)
+    counts = (
+        jnp.zeros((f * l * c,), jnp.float32)
+        .at[keys.reshape(-1)]
+        .add(1.0, mode="drop")
+        .reshape(f, l, c)
+    )
+    mass = counts[:, 0, :].sum(axis=1)
+    distinct = (counts > 0).sum(axis=2)  # [F, L]
+    return mass, distinct
+
+
 def _level_core(
     x: jnp.ndarray,  # [Ns, D]
     labels: jnp.ndarray,  # [Ns, L]
@@ -279,6 +464,9 @@ def _level_core(
     num_segments: int,
     num_classes: int,
     num_layers: int,
+    xb: Optional[jnp.ndarray] = None,  # [Ns, D] bin indices (binned mode)
+    boundaries: Optional[jnp.ndarray] = None,  # [D, B-1] (binned mode)
+    num_bins: int = 0,  # 0 = exact sort-based search
 ):
     """The ENTIRE level as one traceable block: slot mapping, node stats,
     stop checks (learning.cpp:521-531), the K-slot split search, best-slot
@@ -308,7 +496,8 @@ def _level_core(
     cls = jnp.take_along_axis(labels, layer_of[:, None], axis=1)[:, 0]
     cls = jnp.where(seg < num_segments, cls, 0)
 
-    mass, distinct = node_stats_step(
+    stats = node_stats_scatter if num_bins > 0 else node_stats_step
+    mass, distinct = stats(
         seg, labels, num_segments, num_classes, num_layers
     )
     layer_distinct = jnp.take_along_axis(distinct, layers[:, None], axis=1)[
@@ -320,10 +509,16 @@ def _level_core(
         seg,
         num_segments,
     )
-    obj_k, thr_k, lm_k, rm_k = multi_slot_split_search(
-        x, feats, seg, seg_search, cls, class_weights, num_segments,
-        num_classes,
-    )
+    if num_bins > 0:
+        obj_k, thr_k, lm_k, rm_k = multi_slot_split_search_binned(
+            xb, boundaries, feats, seg, seg_search, cls, class_weights,
+            num_segments, num_classes, num_bins,
+        )
+    else:
+        obj_k, thr_k, lm_k, rm_k = multi_slot_split_search(
+            x, feats, seg, seg_search, cls, class_weights, num_segments,
+            num_classes,
+        )
 
     # Best slot per frontier node; argmin keeps the FIRST minimum, exactly
     # the host sweep's strict-< update order (learning.cpp:588).
@@ -386,6 +581,7 @@ def fused_level_step(
     jax.jit,
     static_argnames=(
         "f_pad", "cap", "max_depth", "k", "num_classes", "num_layers",
+        "num_bins",
     ),
 )
 def grow_tree_device(
@@ -401,6 +597,9 @@ def grow_tree_device(
     k: int,  # features sampled per node
     num_classes: int,
     num_layers: int,
+    xb: Optional[jnp.ndarray] = None,  # [Ns, D] bin indices (binned mode)
+    boundaries: Optional[jnp.ndarray] = None,  # [D, B-1] (binned mode)
+    num_bins: int = 0,  # 0 = exact sort-based split search
 ):
     """Grow the WHOLE tree in ONE dispatch: a ``while_loop`` over levels
     around :func:`_level_core`, with per-level rng (layer choice +
@@ -463,6 +662,7 @@ def grow_tree_device(
             feats.astype(jnp.int32), layers, depth <= max_depth,
             min_split, min_child, class_weights,
             f_pad, num_classes, num_layers,
+            xb=xb, boundaries=boundaries, num_bins=num_bins,
         )
         sp_i = splitting.astype(jnp.int32)
         splits = jnp.sum(sp_i)
@@ -503,6 +703,7 @@ def grow_tree_device(
     jax.jit,
     static_argnames=(
         "f_pad", "cap", "max_depth", "k", "num_classes", "num_layers",
+        "num_bins",
     ),
 )
 def grow_forest_device(
@@ -519,6 +720,9 @@ def grow_forest_device(
     k: int,
     num_classes: int,
     num_layers: int,
+    xb_full: Optional[jnp.ndarray] = None,  # [N, D] bin indices (binned)
+    boundaries: Optional[jnp.ndarray] = None,  # [D, B-1] (binned)
+    num_bins: int = 0,  # binned split search (bins shared by all trees)
 ):
     """ALL trees' growth in ONE dispatch — the single-chip analogue of the
     reference's OpenMP-over-trees loop (learning.cpp:1031-1113).
@@ -531,7 +735,8 @@ def grow_forest_device(
     are BIT-IDENTICAL to :func:`grow_tree_device` run tree-by-tree at the
     same (seed, f_pad): the rng depends only on those, so the fused and
     sequential paths grow the same trees (asserted in
-    tests/test_trainer.py).
+    tests/test_trainer.py). In binned mode the full-dataset bin table is
+    shared by every tree (and both paths), preserving that bit-identity.
     """
 
     def one_tree(idx_t, seed_t, cw_t):
@@ -541,6 +746,8 @@ def grow_forest_device(
             seed_t, min_split, min_child, cw_t,
             f_pad=f_pad, cap=cap, max_depth=max_depth, k=k,
             num_classes=num_classes, num_layers=num_layers,
+            xb=(None if num_bins == 0 else jnp.take(xb_full, idx_t, axis=0)),
+            boundaries=boundaries, num_bins=num_bins,
         )
 
     return jax.vmap(one_tree)(idx, seeds, class_weights)
@@ -652,6 +859,8 @@ def _grow_tree_on_device(
     cfg: "TrainerConfig",
     rng: np.random.Generator,
     num_classes: int,
+    xb: Optional[jnp.ndarray] = None,  # [Ns, D] bin idx (split_bins > 0)
+    boundaries: Optional[jnp.ndarray] = None,  # [D, B-1]
 ) -> _DeviceTreeResult:
     """Drive :func:`grow_tree_device`: two host<->device round trips per
     tree in the common case (upload sample implicit, download tables),
@@ -680,6 +889,7 @@ def _grow_tree_on_device(
             jnp.asarray(class_weights),
             f_pad=f_pad, cap=cap, max_depth=cfg.max_depth, k=k,
             num_classes=num_classes, num_layers=num_layers,
+            xb=xb, boundaries=boundaries, num_bins=cfg.split_bins,
         )
         nn_i = int(nn)
         fc = int(f_count)
@@ -756,6 +966,9 @@ def _grow_forest_fused(
     idx_dev = jnp.asarray(idx_np)
     seeds_dev = jnp.asarray(seeds_np)
     cw_dev = jnp.asarray(cw_np)
+    xb_full = bnd = None
+    if cfg.split_bins > 0:
+        xb_full, bnd = build_feature_bins(x_full, num_bins=cfg.split_bins)
 
     # Per-tree bucket escalation, bit-identical to the per-tree path
     # (_grow_tree_on_device): the rng streams depend on f_pad, so an
@@ -783,6 +996,7 @@ def _grow_forest_fused(
                 cw_dev[sel],
                 f_pad=f_pad, cap=cap, max_depth=cfg.max_depth, k=k,
                 num_classes=num_classes, num_layers=num_layers,
+                xb_full=xb_full, boundaries=bnd, num_bins=cfg.split_bins,
             )
             nn_np = np.asarray(nn)  # one host sync per dispatch ([T']+[T'])
             fc_np = np.asarray(fc)
@@ -1131,6 +1345,14 @@ class ForestTrainer:
                     )
             return build_forest(trees, class_counts, multi_label=multi_label)
 
+        # Shared bin table for the binned device mode (one build per call;
+        # per-tree/fused bit-identity needs identical full-dataset bins).
+        bins_full = bnd = None
+        if cfg.split_bins > 0 and cfg.device_growth:
+            bins_full, bnd = build_feature_bins(
+                x_full, num_bins=cfg.split_bins
+            )
+
         for t in range(start_tree, cfg.num_trees):
             start = time.perf_counter()
             # Deterministic per-tree stream: resume-safe and shardable
@@ -1138,12 +1360,19 @@ class ForestTrainer:
             rng = np.random.default_rng((cfg.seed, t + _tree_offset))
             if cfg.use_bootstrap:
                 idx = rng.integers(0, n, size=n_bootstrap)
-                xb = jnp.take(x_full, jnp.asarray(idx), axis=0)
+                idx_dev = jnp.asarray(idx)
+                xb = jnp.take(x_full, idx_dev, axis=0)
                 yb = labels[idx]
+                bins_boot = (
+                    None if bins_full is None
+                    else jnp.take(bins_full, idx_dev, axis=0)
+                )
             else:
-                xb, yb = x_full, labels
+                xb, yb, bins_boot = x_full, labels, bins_full
             if cfg.device_growth:
-                builder = _grow_tree_on_device(xb, yb, cfg, rng, c_max)
+                builder = _grow_tree_on_device(
+                    xb, yb, cfg, rng, c_max, xb=bins_boot, boundaries=bnd
+                )
             else:
                 builder = _grow_tree(xb, yb, cfg, rng, c_max)
 

@@ -505,3 +505,153 @@ class TestDeviceGrowth:
         # frontier at the depth limit is a normal exit, not overflow).
         assert int(fc) <= 256 and int(nn) + 2 * int(fc) <= 4096
         assert int(nn) > int(nn_s)
+
+
+class TestBinnedSplitSearch:
+    """split_bins > 0: the sort-free binned device split search."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(600, 10)).astype(np.float32)
+        y = ((x[:, 0] > 0) + 2 * (x[:, 4] > 0.3)).astype(np.int32)
+        return x, y
+
+    def test_bin_threshold_consistency(self):
+        """bin(x) <= j  <=>  x < boundaries[d, j] — including duplicate
+        values (equal values must always share a bin, so a stored
+        boundary threshold partitions EXACTLY like the binned search)."""
+        from rovinasemanticsegmentation_tpu.train.forest_trainer import (
+            build_feature_bins,
+        )
+
+        rng = np.random.default_rng(3)
+        # Column 0 continuous, column 1 heavy duplicates (integer-ish).
+        x = np.stack(
+            [
+                rng.normal(size=500),
+                rng.integers(0, 7, size=500).astype(np.float64),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        xb, bnd = build_feature_bins(jnp.asarray(x), num_bins=16)
+        xb, bnd = np.asarray(xb), np.asarray(bnd)
+        for d in range(2):
+            for j in range(bnd.shape[1]):
+                np.testing.assert_array_equal(
+                    xb[:, d] <= j, x[:, d] < bnd[d, j],
+                    err_msg=f"feature {d} boundary {j}",
+                )
+
+    def test_binned_slot_matches_histogram_oracle(self):
+        """_binned_slot_search vs a literal numpy sweep over boundary
+        candidates (same objective as oracle_best_split restricted to the
+        bin-boundary candidate set)."""
+        from rovinasemanticsegmentation_tpu.train.forest_trainer import (
+            _binned_slot_search,
+        )
+
+        rng = np.random.default_rng(5)
+        ns, f, c, b = 300, 4, 3, 8
+        bv = rng.integers(0, b, ns).astype(np.int32)
+        seg = rng.integers(0, f + 1, ns).astype(np.int32)  # f = inactive
+        cls = rng.integers(0, c, ns).astype(np.int32)
+        cw = np.ones(c, np.float32)
+        obj, bidx, lm, rm = _binned_slot_search(
+            jnp.asarray(bv), jnp.asarray(seg), jnp.asarray(cls),
+            jnp.asarray(cw), f, c, b,
+        )
+        obj, bidx = np.asarray(obj), np.asarray(bidx)
+        lm, rm = np.asarray(lm), np.asarray(rm)
+
+        def ent(h):
+            m = h.sum()
+            out = m * np.log2(m) if m > 0 else 0.0
+            for v in h:
+                if v > 0:
+                    out -= v * np.log2(v)
+            return out
+
+        for s in range(f):
+            sel = seg == s
+            best, best_j, best_lm, best_rm = np.inf, 0, 0.0, 0.0
+            hist = np.zeros((b, c))
+            for i in np.nonzero(sel)[0]:
+                hist[bv[i], cls[i]] += 1
+            for j in range(b - 1):
+                left = hist[: j + 1].sum(0)
+                right = hist[j + 1 :].sum(0)
+                if left.sum() == 0 or right.sum() == 0:
+                    continue
+                o = ent(left) + ent(right)
+                if o < best:
+                    best, best_j = o, j
+                    best_lm, best_rm = left.sum(), right.sum()
+            if np.isinf(best):
+                assert np.isinf(obj[s])
+            else:
+                np.testing.assert_allclose(obj[s], best, rtol=1e-5)
+                assert bidx[s] == best_j
+                assert lm[s] == best_lm and rm[s] == best_rm
+
+    def test_binned_fused_matches_per_tree(self, data, tmp_path):
+        """Fused-forest and per-tree device growth stay BIT-IDENTICAL in
+        binned mode (shared full-dataset bin table + shared rng streams)."""
+        x, y = data
+        cfg = TrainerConfig(
+            num_trees=2, max_depth=6, min_split_examples=15, seed=9,
+            device_growth=True, split_bins=32,
+        )
+        fused = ForestTrainer(cfg).learn(
+            x, y, class_counts=[4], multi_label=False, progress=False
+        )
+        per_tree = ForestTrainer(cfg).learn(
+            x, y, class_counts=[4], multi_label=False, progress=False,
+            checkpoint_path=str(tmp_path / "ckpt.npz"),
+        )
+        for t in range(cfg.num_trees):
+            a, b = fused.tree_view(t), per_tree.tree_view(t)
+            np.testing.assert_array_equal(a.split_feature, b.split_feature)
+            np.testing.assert_array_equal(a.left_child, b.left_child)
+            np.testing.assert_allclose(a.threshold, b.threshold, rtol=1e-7)
+            np.testing.assert_allclose(a.leaf_hist, b.leaf_hist, rtol=1e-5)
+
+    def test_binned_heldout_accuracy_parity(self, data):
+        """Binned (256 global quantile bins) vs exact split search: the
+        candidate restriction must not cost accuracy on held-out data
+        (SURVEY §7 'hard parts' — the sanctioned statistical-parity bar).
+
+        The data is workload-shaped: ROVINA feature vectors are 363/366
+        integer-valued Lab patch intensities (feature_extractor.h:125-175)
+        plus 3 continuous channels (depth/height/normal angle) — for the
+        integer features 256 value-based bins make the binned candidate
+        set near-exact. (On ALL-continuous data a global quantile sketch
+        measurably trails the exact node-local sweep at depth — that
+        regime is not this workload.)"""
+        rng = np.random.default_rng(17)
+
+        def make(n):
+            xi = rng.integers(0, 256, size=(n, 10)).astype(np.float32)
+            xc = rng.normal(size=(n, 2)).astype(np.float32)
+            x = np.concatenate([xi, xc], axis=1)
+            y = (
+                (x[:, 0] > 127) + 2 * ((x[:, 5] > 64) & (x[:, 11] > 0.3))
+            ).astype(np.int32)
+            return x, y
+
+        x, y = make(1500)
+        xt, yt = make(800)
+        accs = {}
+        for bins in (0, 256):
+            cfg = TrainerConfig(
+                num_trees=2, max_depth=8, min_split_examples=10, seed=2,
+                device_growth=True, split_bins=bins,
+            )
+            forest = ForestTrainer(cfg).learn(
+                x, y, class_counts=[4], multi_label=False, progress=False
+            )
+            post = np.asarray(
+                ForestPredictor(forest).log_posterior(jnp.asarray(xt))
+            )[:, 0, :4]
+            accs[bins] = (post.argmax(1) == yt).mean()
+        assert accs[256] >= accs[0] - 0.02, accs
