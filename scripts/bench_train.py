@@ -7,7 +7,9 @@ threads (/root/reference/third-party/libforest/src/learning.cpp:1105,
 synthetic multi-label dataset shaped like one training run's worth of
 extracted features.
 
-Usage: python scripts/bench_train.py [n_points] [n_trees]
+Usage: python scripts/bench_train.py [n_points] [n_trees] [split_bins]
+split_bins > 0 selects the sort-free binned device split search
+(TrainerConfig.split_bins; 0 = exact sort-based mode).
 Prints one JSON line {"metric": "train_points_per_sec", ...}.
 """
 
@@ -24,6 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     trees = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    bins = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     from rovinasemanticsegmentation_tpu.utils import tpu_lock
 
@@ -60,7 +63,10 @@ def main() -> None:
         ],
         axis=1,
     )
-    cfg = TrainerConfig(num_trees=trees, max_depth=30, min_split_examples=50)
+    cfg = TrainerConfig(
+        num_trees=trees, max_depth=30, min_split_examples=50,
+        split_bins=bins,
+    )
     trainer = ForestTrainer(cfg)
 
     start = time.perf_counter()
@@ -77,7 +83,7 @@ def main() -> None:
                 "metric": "train_points_per_sec",
                 "value": round(n * trees / elapsed, 1),
                 "unit": f"point-trees/s ({trees} trees, {n} pts, "
-                f"{nodes} nodes, {elapsed:.1f}s)",
+                f"{nodes} nodes, {elapsed:.1f}s, bins={bins})",
                 "vs_baseline": None,
             }
         )
