@@ -256,6 +256,52 @@ def build_lattice_device(
     s = n * d1
     spad = -(-s // 128) * 128
 
+    keys, bary = _embed_simplex(features)
+
+    kflat = keys.reshape(s, d)  # signed coords, |coord| << 2^15
+    packs = _pack_keys16(kflat, d)
+
+    (
+        sorted_points,
+        sorted_weights,
+        seg_starts,
+        seg_ends,
+        offsets_t,
+        m,
+        uq,
+        ucoord,
+    ) = _dedup_sorted(packs, kflat, bary, n, d, m_bucket, spad)
+    barycentric_t = bary.T
+
+    # Neighbor resolution: sort-merge vs hash-probe, settled by compiled
+    # slope measurement (scripts/exp_lattice.py records the winner).
+    from ..utils import tuning
+
+    if tuning.get("lattice_neighbors", "sort") == "hash":
+        blur_n1, blur_n2 = _blur_neighbors_hash(uq, ucoord, m, m_bucket, d)
+    else:
+        blur_n1, blur_n2 = _blur_neighbors_sort(uq, ucoord, m, m_bucket, d)
+
+    return (
+        sorted_points,
+        sorted_weights,
+        seg_starts,
+        seg_ends,
+        offsets_t,
+        barycentric_t,
+        blur_n1,
+        blur_n2,
+        m,
+    )
+
+
+def _embed_simplex(features: jnp.ndarray):
+    """Embed, round, rank, barycentric — the pure vector phase of the
+    device lattice build (permutohedral.cpp:352-426 semantics). Returns
+    ``(keys [N, d+1, d] int32 simplex-corner coords, bary [N, d+1])``."""
+    n, d = features.shape
+    d1 = d + 1
+
     inv_std_dev = np.sqrt(2.0 / 3.0) * d1
     scale = jnp.asarray(
         (1.0 / np.sqrt((np.arange(d) + 2.0) * (np.arange(d) + 1.0)))
@@ -317,23 +363,38 @@ def build_lattice_device(
     r_idx = jnp.arange(d1)[None, :, None]  # corner r
     step = jnp.where(rank[:, None, :d] <= d - r_idx, r_idx, r_idx - d1)
     keys = rem0[:, None, :d].astype(jnp.int32) + step  # [N, d+1, d]
+    return keys, bary
 
-    # Pack 16-bit halves -> ceil(d/2) int32 sort keys. Signed packing
-    # (hi * 2^16 + unsigned lo) keeps int32 ordering lexicographic; the
-    # unsigned (hi << 16 | lo) form would flip order once hi >= 2^15.
-    kflat = keys.reshape(s, d)  # signed coords, |coord| << 2^15
+
+def _pack_pair16(hi, lo):
+    """Two signed 16-bit-range ints -> one int32 preserving lexicographic
+    order. Signed packing (hi * 2^16 + unsigned lo); the unsigned
+    (hi << 16 | lo) form would flip order once hi >= 2^15."""
+    return (hi << 16) + lo + (1 << 15)
+
+
+def _pack_keys16(kflat: jnp.ndarray, d: int):
+    """Pack 16-bit halves -> ceil(d/2) int32 sort keys (list)."""
     nk = (d + 1) // 2
-
-    def pack_pair(hi, lo):
-        return (hi << 16) + lo + (1 << 15)
-
     packs = []
     for i in range(nk):
         hi = kflat[:, 2 * i]
         lo = (
             kflat[:, 2 * i + 1] if 2 * i + 1 < d else jnp.zeros_like(hi) - (1 << 15)
         )
-        packs.append(pack_pair(hi, lo))
+        packs.append(_pack_pair16(hi, lo))
+    return packs
+
+
+def _dedup_sorted(packs, kflat, bary, n, d, m_bucket, spad):
+    """Sort-based vertex dedup + sorted splat stream + point offsets.
+
+    Returns ``(sorted_points, sorted_weights, seg_starts, seg_ends,
+    offsets_t, m, uq, ucoord)`` where ``uq``/``ucoord`` are the per-vertex
+    packed keys / raw coords needed by blur-neighbor resolution."""
+    d1 = d + 1
+    s = n * d1
+    nk = len(packs)
     pos = jnp.arange(s, dtype=jnp.int32)
     sorted_all = jax.lax.sort(tuple(packs) + (pos,), num_keys=nk)
     sp = sorted_all[:nk]
@@ -353,7 +414,6 @@ def build_lattice_device(
     vid_c = jnp.minimum(vid_sorted, m_bucket - 1)
     offsets_flat = jax.lax.sort((pos_sorted, vid_c), num_keys=1)[1]
     offsets_t = offsets_flat.reshape(n, d1).T  # [d+1, N]
-    barycentric_t = bary.T
 
     # Sorted splat stream (pad rows contribute zero weight to vertex m-1's
     # tail only if segments pointed there — they don't: pads sit past S).
@@ -381,16 +441,26 @@ def build_lattice_device(
     uq = [jnp.where(real, jnp.take(p, seg_starts), big) for p in sp]
     ksorted = jnp.take(kflat, pos_sorted, axis=0)  # [S, d] in sorted order
     ucoord = [jnp.take(ksorted[:, i], seg_starts) for i in range(d)]
+    return (
+        sorted_points,
+        sorted_weights,
+        seg_starts,
+        seg_ends,
+        offsets_t,
+        m,
+        uq,
+        ucoord,
+    )
 
-    # Blur-neighbor resolution: ONE sort-merge for ALL 2*(d+1) query sets.
-    # A per-set binary search (16 dependent gather rounds x 14 sets = 224
-    # serialized rounds) cost ~150-200 ms/build on TPU — each tiny-vector
-    # gather round is latency-bound. Sorts of a few hundred k rows are
-    # cheap (measured), so: concatenate the unique keys (tag 0) with every
-    # query key (tag 1), sort once; in ascending order each query's
-    # predecessor-unique is found with a cummax over unique positions, and
-    # a key-equality check decides hit vs missing slot.
-    nq_sets = 2 * d1
+
+def _blur_neighbor_queries(ucoord, d):
+    """Packed neighbor-query keys: 2*(d+1) sets of ceil(d/2) int32 words.
+
+    Set (j, sign) asks for each vertex's neighbor along lattice axis j in
+    direction sign (permutohedral.cpp:434-474): coordinate j steps by +-d,
+    every other coordinate by -+1 (axis d1-1's key is all -+1)."""
+    d1 = d + 1
+    nk = (d + 1) // 2
     qpacked = []  # per set: nk packed key components
     for j in range(d1):
         for sign in (1, -1):
@@ -409,29 +479,46 @@ def build_lattice_device(
                     if 2 * i + 1 < d
                     else jnp.zeros_like(hi) - (1 << 15)
                 )
-                packs_q.append(pack_pair(hi, lo))
+                packs_q.append(_pack_pair16(hi, lo))
             qpacked.append(packs_q)
+    return qpacked
+
+
+def _blur_neighbors_sort(uq, ucoord, m, m_bucket, d):
+    """Blur-neighbor resolution: ONE sort-merge for ALL 2*(d+1) query sets.
+
+    A per-set binary search (16 dependent gather rounds x 14 sets = 224
+    serialized rounds) cost ~150-200 ms/build on TPU — each tiny-vector
+    gather round is latency-bound. Sorts of a few hundred k rows are
+    cheap (measured), so: concatenate the unique keys (tag 0) with every
+    query key (tag 1), sort once; in ascending order each query's
+    predecessor-unique is found with a cummax over unique positions, and
+    a key-equality check decides hit vs missing slot."""
+    d1 = d + 1
+    nk = (d + 1) // 2
+    real = jnp.arange(m_bucket) < m  # padded vertices -> missing slot
+    nq_sets = 2 * d1
+    qpacked = _blur_neighbor_queries(ucoord, d)
     keys_cat = [
         jnp.concatenate([uq[i]] + [qp[i] for qp in qpacked])
         for i in range(nk)
     ]
     slot_ids = jnp.arange(m_bucket, dtype=jnp.int32)
-    tag = jnp.concatenate(
-        [jnp.zeros(m_bucket, jnp.int32)]
-        + [jnp.ones(m_bucket, jnp.int32)] * nq_sets
-    )
+    # The payload doubles as the unique-before-query tiebreak: unique rows
+    # carry payload < m_bucket, query rows >= m_bucket, so sorting with the
+    # payload as the FINAL key orders every equal-key group unique-first —
+    # no separate tag operand rides the big sort.
     payload = jnp.concatenate(
         [slot_ids]
         + [slot_ids + (k + 1) * m_bucket for k in range(nq_sets)]
     )
     sorted_cat = jax.lax.sort(
-        tuple(keys_cat) + (tag, payload), num_keys=nk + 1
+        tuple(keys_cat) + (payload,), num_keys=nk + 1
     )
-    stag = sorted_cat[nk]
-    spay = sorted_cat[nk + 1]
-    t_rows = stag.shape[0]
+    spay = sorted_cat[nk]
+    t_rows = spay.shape[0]
     iota_t = jnp.arange(t_rows, dtype=jnp.int32)
-    last_u = jax.lax.cummax(jnp.where(stag == 0, iota_t, -1))
+    last_u = jax.lax.cummax(jnp.where(spay < m_bucket, iota_t, -1))
     lu = jnp.maximum(last_u, 0)
     match = last_u >= 0
     for i in range(nk):
@@ -450,18 +537,110 @@ def build_lattice_device(
         blur_n2.append(jnp.where(real, b2, m_bucket))
     blur_n1 = jnp.stack(blur_n1)
     blur_n2 = jnp.stack(blur_n2)
+    return blur_n1, blur_n2
 
-    return (
-        sorted_points,
-        sorted_weights,
-        seg_starts,
-        seg_ends,
-        offsets_t,
-        barycentric_t,
-        blur_n1,
-        blur_n2,
-        m,
+
+def _blur_neighbors_hash(uq, ucoord, m, m_bucket, d):
+    """Blur-neighbor resolution via an on-device hash table (alternative to
+    :func:`_blur_neighbors_sort`; selected by the ``lattice_neighbors``
+    measured-variant key).
+
+    The sort-merge resolves 2*(d+1)*m_bucket queries with one
+    (nk+1)-operand bitonic sort over ~15*m_bucket rows — O(rows log^2 rows)
+    vector passes. Here the unique keys instead populate a double-hashed
+    open-addressing table (2*m_bucket slots, load <= 0.5), and all query
+    sets probe it together: each probe round is one gather + nk compare
+    gathers over the query vector, and a ``while_loop`` ends as soon as
+    every lane has hit its key or an empty slot — data-dependent iteration
+    count (max probe chain, ~a few at this load) instead of the sort's
+    fixed log^2 passes. Exact: a hit requires full packed-key equality,
+    a miss requires an EMPTY slot, so results match the sort-merge
+    bit-for-bit (ids are slot ids in both).
+    """
+    d1 = d + 1
+    nk = len(uq)
+    tsize = 2 * m_bucket  # power of two (m_bucket is)
+    tmask = tsize - 1
+    empty = jnp.int32(0x7FFFFFFF)
+    real = jnp.arange(m_bucket) < m
+
+    def h1(words):
+        h = jnp.int32(-2128831035)  # FNV-1a basis, 32-bit wraparound
+        for w in words:
+            h = (h ^ w) * jnp.int32(16777619)
+        return h & tmask
+
+    def h2(words):
+        h = jnp.int32(0)
+        for w in words:
+            h = h * jnp.int32(-1640531527) + w  # golden-ratio mix
+        return ((h >> 1) << 1) | 1  # odd stride: full cycle mod 2^k
+
+    # ---- insert the m real vertices (ids = slot ids 0..m_bucket) ----
+    slot0 = h1(uq)
+    stride = h2(uq)
+    table0 = jnp.full((tsize,), empty, jnp.int32)
+    ids = jnp.arange(m_bucket, dtype=jnp.int32)
+
+    def ins_cond(state):
+        table, slot, done, r = state
+        return (~jnp.all(done)) & (r < 64)
+
+    def ins_body(state):
+        table, slot, done, r = state
+        occ = jnp.take(table, slot)
+        # Attempt only lanes whose slot is empty as of last round; among
+        # same-round contenders the scatter-min picks one winner.
+        attempt = (~done) & (occ == empty)
+        tgt = jnp.where(attempt, slot, tsize)
+        table = table.at[tgt].min(ids, mode="drop")
+        won = attempt & (jnp.take(table, slot) == ids)
+        done = done | won
+        slot = jnp.where(done, slot, (slot + stride) & tmask)
+        return table, slot, done, r + 1
+
+    table, _, _, _ = jax.lax.while_loop(
+        ins_cond, ins_body, (table0, slot0, ~real, jnp.int32(0))
     )
+
+    # ---- probe all 2*(d+1) query sets at once ----
+    qpacked = _blur_neighbor_queries(ucoord, d)
+    nq = 2 * d1
+    qw = [
+        jnp.concatenate([qp[i] for qp in qpacked]) for i in range(nk)
+    ]  # [nq * m_bucket] per word
+    qslot = h1(qw)
+    qstride = h2(qw)
+    q_real = jnp.tile(real, nq)
+
+    def pr_cond(state):
+        slot, res, done, r = state
+        return (~jnp.all(done)) & (r < 64)
+
+    def pr_body(state):
+        slot, res, done, r = state
+        tid = jnp.take(table, slot)
+        is_empty = tid == empty
+        tid_c = jnp.where(is_empty, 0, tid)
+        hit = ~is_empty
+        for i in range(nk):
+            hit = hit & (jnp.take(uq[i], tid_c) == qw[i])
+        newly = (~done) & (hit | is_empty)
+        res = jnp.where(newly & hit, tid_c, res)
+        done = done | newly
+        slot = jnp.where(done, slot, (slot + qstride) & tmask)
+        return slot, res, done, r + 1
+
+    res0 = jnp.full((nq * m_bucket,), m_bucket, jnp.int32)
+    _, res, _, _ = jax.lax.while_loop(
+        pr_cond, pr_body, (qslot, res0, ~q_real, jnp.int32(0))
+    )
+    res = jnp.where(res < m, res, m_bucket)  # clamp overflowed inserts
+
+    res = res.reshape(nq, m_bucket)
+    blur_n1 = jnp.where(real[None, :], res[0::2], m_bucket)
+    blur_n2 = jnp.where(real[None, :], res[1::2], m_bucket)
+    return blur_n1, blur_n2
 
 
 def attach_sorted_stream(lattice: PermutohedralLattice) -> PermutohedralLattice:

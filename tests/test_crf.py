@@ -287,6 +287,40 @@ class TestLattice:
         )
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_hash_neighbors_match_sort(self, features):
+        """_blur_neighbors_hash == _blur_neighbors_sort bit-for-bit: a hash
+        hit requires full packed-key equality and a miss an EMPTY slot, so
+        the two variants must agree on every (axis, vertex) pair."""
+        from rovinasemanticsegmentation_tpu.models.lattice import (
+            _blur_neighbors_hash,
+            _blur_neighbors_sort,
+            _dedup_sorted,
+            _embed_simplex,
+            _pack_keys16,
+        )
+
+        for scale, seed in ((1.0, 0), (0.05, 7)):  # sparse + dup-heavy
+            rng = np.random.default_rng(seed)
+            feats = (
+                rng.normal(size=features.shape).astype(np.float32) * scale
+            )
+            n, d = feats.shape
+            d1 = d + 1
+            s = n * d1
+            spad = -(-s // 128) * 128
+            keys, bary = _embed_simplex(jnp.asarray(feats))
+            kflat = keys.reshape(s, d)
+            packs = _pack_keys16(kflat, d)
+            m_bucket = 1 << 12
+            *_, m, uq, ucoord = _dedup_sorted(
+                packs, kflat, bary, n, d, m_bucket, spad
+            )
+            assert int(m) <= m_bucket
+            s1, s2 = _blur_neighbors_sort(uq, ucoord, m, m_bucket, d)
+            h1, h2 = _blur_neighbors_hash(uq, ucoord, m, m_bucket, d)
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(h1))
+            np.testing.assert_array_equal(np.asarray(s2), np.asarray(h2))
+
     def test_gaussian_behavior(self):
         # Identical features -> filter approximately sums everything
         # (the lattice's known self-weight deficit ~5% at d=3); far-apart
