@@ -410,7 +410,9 @@ def _dedup_sorted(packs, kflat, bary, n, d, m_bucket, spad):
 
     # offsets back in point order; clamp overflowed ids into the bucket so
     # downstream indexing stays in range (the caller rejects the build via
-    # m anyway). The inverse permutation rides a key sort, not a scatter.
+    # m anyway). The inverse permutation rides a key sort, not a scatter
+    # (measured: the scatter form costs ~1 ms MORE at bench scale,
+    # scripts/exp_lattice.py — unlike the small n2-inversion scatter).
     vid_c = jnp.minimum(vid_sorted, m_bucket - 1)
     offsets_flat = jax.lax.sort((pos_sorted, vid_c), num_keys=1)[1]
     offsets_t = offsets_flat.reshape(n, d1).T  # [d+1, N]
@@ -453,17 +455,21 @@ def _dedup_sorted(packs, kflat, bary, n, d, m_bucket, spad):
     )
 
 
-def _blur_neighbor_queries(ucoord, d):
-    """Packed neighbor-query keys: 2*(d+1) sets of ceil(d/2) int32 words.
+def _blur_neighbor_queries(ucoord, d, signs=(1, -1)):
+    """Packed neighbor-query keys: len(signs)*(d+1) sets of ceil(d/2)
+    int32 words.
 
     Set (j, sign) asks for each vertex's neighbor along lattice axis j in
     direction sign (permutohedral.cpp:434-474): coordinate j steps by +-d,
-    every other coordinate by -+1 (axis d1-1's key is all -+1)."""
+    every other coordinate by -+1 (axis d1-1's key is all -+1). The two
+    directions are exact inverses — n2_j(n1_j(u)) == u coordinate-wise —
+    so callers may resolve only ``signs=(1,)`` and derive the other
+    direction by inverting the map (see :func:`_blur_neighbors_sort`)."""
     d1 = d + 1
     nk = (d + 1) // 2
     qpacked = []  # per set: nk packed key components
     for j in range(d1):
-        for sign in (1, -1):
+        for sign in signs:
             qc = []
             for i in range(d):
                 base = ucoord[i]
@@ -493,12 +499,19 @@ def _blur_neighbors_sort(uq, ucoord, m, m_bucket, d):
     cheap (measured), so: concatenate the unique keys (tag 0) with every
     query key (tag 1), sort once; in ascending order each query's
     predecessor-unique is found with a cummax over unique positions, and
-    a key-equality check decides hit vs missing slot."""
+    a key-equality check decides hit vs missing slot.
+
+    Only the sign=+1 direction rides the sort: the two directions are
+    exact inverses (n2_j(n1_j(u)) == u — coordinate j steps +d / others
+    -1, then -d / +1), so n2 falls out of n1 by a collision-free scatter
+    inversion, halving the merge-sort rows (measured: the neighbor phase
+    was the dominant ~40 ms of the ~52 ms device build at bench scale,
+    scripts/exp_lattice.py)."""
     d1 = d + 1
     nk = (d + 1) // 2
     real = jnp.arange(m_bucket) < m  # padded vertices -> missing slot
-    nq_sets = 2 * d1
-    qpacked = _blur_neighbor_queries(ucoord, d)
+    nq_sets = d1
+    qpacked = _blur_neighbor_queries(ucoord, d, signs=(1,))
     keys_cat = [
         jnp.concatenate([uq[i]] + [qp[i] for qp in qpacked])
         for i in range(nk)
@@ -526,17 +539,37 @@ def _blur_neighbors_sort(uq, ucoord, m, m_bucket, d):
     vmatch = jnp.take(spay, lu)  # unique rows carry their vertex id
     match = match & (vmatch < m)
     result = jnp.where(match, vmatch, m_bucket)
-    # Route results back to (set, slot) order by sorting on the payload.
+    # Route results back to (set, slot) order by sorting on the payload
+    # (measured: a permutation scatter here is ~1 ms slower at bench
+    # scale, scripts/exp_lattice.py).
     back = jax.lax.sort((spay, result), num_keys=1)[1]
-    blur_n1 = []
-    blur_n2 = []
-    for j in range(d1):
-        b1 = back[(2 * j + 1) * m_bucket : (2 * j + 2) * m_bucket]
-        b2 = back[(2 * j + 2) * m_bucket : (2 * j + 3) * m_bucket]
-        blur_n1.append(jnp.where(real, b1, m_bucket))
-        blur_n2.append(jnp.where(real, b2, m_bucket))
-    blur_n1 = jnp.stack(blur_n1)
-    blur_n2 = jnp.stack(blur_n2)
+    blur_n1 = jnp.stack(
+        [
+            jnp.where(
+                real,
+                back[(j + 1) * m_bucket : (j + 2) * m_bucket],
+                m_bucket,
+            )
+            for j in range(d1)
+        ]
+    )
+    # n2 by inversion: n1_j(u) = v  <=>  n2_j(v) = u. Hits are real
+    # vertex ids (< m) and n1_j is injective, so the scatter is
+    # collision-free; misses (== m_bucket) drop out of bounds.
+    src = jnp.broadcast_to(
+        jnp.arange(m_bucket, dtype=jnp.int32)[None, :], (d1, m_bucket)
+    ).reshape(-1)
+    tgt = (
+        jnp.arange(d1, dtype=jnp.int32)[:, None] * m_bucket + blur_n1
+    ).reshape(-1)
+    tgt = jnp.where(blur_n1.reshape(-1) < m_bucket, tgt, d1 * m_bucket)
+    blur_n2 = (
+        jnp.full((d1 * m_bucket,), m_bucket, jnp.int32)
+        .at[tgt]
+        .set(src, mode="drop")
+        .reshape(d1, m_bucket)
+    )
+    blur_n2 = jnp.where(real[None, :], blur_n2, m_bucket)
     return blur_n1, blur_n2
 
 
