@@ -31,11 +31,9 @@ from rovinasemanticsegmentation_tpu.features.extractor import (
     FeatureConfig,
     FeatureExtractor,
 )
-from rovinasemanticsegmentation_tpu.models.forest import (
-    PallasForestPredictor,
-    load_forest,
-)
+from rovinasemanticsegmentation_tpu.models.forest import load_forest
 from rovinasemanticsegmentation_tpu.ops.forest_pallas import (
+    PallasForestPredictor,
     find_leaves_pallas,
 )
 from rovinasemanticsegmentation_tpu.utils.calibration import Calibration
