@@ -542,6 +542,10 @@ def _run_bench() -> None:
     labels = map_pipeline.run_device(cloud_dev, cloud_rgb_dev, nodes)
     np.asarray(jnp.concatenate([l.astype(jnp.int32) for l in labels]))
     map_ms = (time.perf_counter() - t0) * 1000.0
+    # Observe pending lattice-overflow probes now (session end), so an
+    # overflow during the epochs is logged while the capture's context is
+    # visible instead of surfacing as an unobserved-probe warning at GC.
+    map_pipeline.flush()
 
     record = {
         "metric": metric,
