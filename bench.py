@@ -392,7 +392,7 @@ def _run_bench() -> None:
             rgb_stacks[0], depth_stacks[0], kinv, rot, trans,
             clouds_b[0], cloud_rgb_dev, poses_dev,
         )
-        np.asarray(jnp.concatenate([l.astype(jnp.int32) for m in ml for l in m]))
+        np.asarray(jnp.concatenate([l.astype(jnp.uint8) for m in ml for l in m]))
 
         rates = []
         for epoch in range(n_epochs):
@@ -408,7 +408,7 @@ def _run_bench() -> None:
                 all_map_labels.extend(l for m in ml for l in m)
             np.asarray(
                 jnp.concatenate(
-                    [l.astype(jnp.int32) for l in all_map_labels]
+                    [l.astype(jnp.uint8) for l in all_map_labels]
                 )
             )
             rates.append(N_KEYFRAMES / (time.perf_counter() - start))
@@ -482,10 +482,12 @@ def _run_bench() -> None:
             # while remote compiles are pending (see ROADMAP.md). ONE fused
             # download: each np.asarray round trip costs ~35 ms of link
             # latency, so the per-epoch label arrays ride a single
-            # device-side concatenation.
+            # device-side concatenation, as uint8 — the serving contract
+            # (LocalMapSegmentationSrv returns uint8[] point_labels), and
+            # 4x fewer drain bytes than int32 on the ~40 MB/s link.
             all_labels = [l for fut in pending for l in fut.result()]
             np.asarray(
-                jnp.concatenate([l.astype(jnp.int32) for l in all_labels])
+                jnp.concatenate([l.astype(jnp.uint8) for l in all_labels])
             )
             rates.append(N_KEYFRAMES / (time.perf_counter() - start))
         fusion_worker.shutdown()
@@ -528,7 +530,7 @@ def _run_bench() -> None:
         results = pipeline.run_batch_stacked(rgb_b, depth_b, kinv, rot, trans)
     np.asarray(
         jnp.concatenate(
-            [r.labels[0].astype(jnp.int32) for r in results]
+            [r.labels[0].astype(jnp.uint8) for r in results]
         )
     )
     frame_ms = (time.perf_counter() - t0) * 1000.0 / N_KEYFRAMES
@@ -540,7 +542,7 @@ def _run_bench() -> None:
     cloud_rgb_dev = jnp.asarray(cloud_rgb)
     t0 = time.perf_counter()
     labels = map_pipeline.run_device(cloud_dev, cloud_rgb_dev, nodes)
-    np.asarray(jnp.concatenate([l.astype(jnp.int32) for l in labels]))
+    np.asarray(jnp.concatenate([l.astype(jnp.uint8) for l in labels]))
     map_ms = (time.perf_counter() - t0) * 1000.0
     # Observe pending lattice-overflow probes now (session end), so an
     # overflow during the epochs is logged while the capture's context is

@@ -437,12 +437,19 @@ def _dedup_sorted(packs, kflat, bary, n, d, m_bucket, spad):
     # Unique keys/coords per vertex: gathers at the segment starts (each
     # real vertex's start row holds its key), +inf sentinel past m so a
     # padded slot can never win the neighbor merge below. These were nine
-    # more S-row scatters.
+    # more S-row scatters. The raw coords come from UNPACKING the packed
+    # key words instead of a second [S, d] row-gather of kflat: the pack
+    # (hi << 16) + lo + 2^15 is exactly invertible (hi = w >> 16 arithmetic,
+    # lo = (w & 0xFFFF) - 2^15) since lo + 2^15 lives in [0, 2^16).
     big = jnp.int32(0x7FFFFFFF)
     real = jnp.arange(m_bucket) < m  # padded vertices -> missing slot
     uq = [jnp.where(real, jnp.take(p, seg_starts), big) for p in sp]
-    ksorted = jnp.take(kflat, pos_sorted, axis=0)  # [S, d] in sorted order
-    ucoord = [jnp.take(ksorted[:, i], seg_starts) for i in range(d)]
+    ucoord = []
+    for i in range(nk):
+        w = uq[i]
+        ucoord.append(w >> 16)
+        if 2 * i + 1 < d:
+            ucoord.append((w & 0xFFFF) - (1 << 15))
     return (
         sorted_points,
         sorted_weights,
@@ -528,17 +535,35 @@ def _blur_neighbors_sort(uq, ucoord, m, m_bucket, d):
     sorted_cat = jax.lax.sort(
         tuple(keys_cat) + (payload,), num_keys=nk + 1
     )
+    # Gather-free match step (round 5, scripts/exp_neigh.py): the naive
+    # form (cummax of unique row indices, then gather each key word at the
+    # predecessor index and compare) issues FOUR dynamic row-gathers over
+    # the merged stream — measured 21.5 of the phase's 23 ms at bench
+    # scale. Two invariants of this stream eliminate every gather:
+    #   (1) the payload is the FINAL sort key, so within an equal-key run
+    #       the unique row sorts FIRST, and a run holds at most one unique
+    #       row (unique keys are deduped);
+    #   (2) unique slot ids ascend with key order (assigned in sorted key
+    #       order), so cummax of masked slot ids carries the slot of the
+    #       most recent unique row.
+    # A query matches iff the most recent unique row lies within its own
+    # equal-key run: cummax(unique row idx) >= cummax(run-start idx), with
+    # run starts from adjacent-row key inequality (contiguous shifts).
     spay = sorted_cat[nk]
     t_rows = spay.shape[0]
     iota_t = jnp.arange(t_rows, dtype=jnp.int32)
-    last_u = jax.lax.cummax(jnp.where(spay < m_bucket, iota_t, -1))
-    lu = jnp.maximum(last_u, 0)
-    match = last_u >= 0
+    is_u = spay < m_bucket
+    neq_prev = jnp.zeros(t_rows, bool).at[0].set(True)
     for i in range(nk):
-        match = match & (jnp.take(sorted_cat[i], lu) == sorted_cat[i])
-    vmatch = jnp.take(spay, lu)  # unique rows carry their vertex id
-    match = match & (vmatch < m)
-    result = jnp.where(match, vmatch, m_bucket)
+        k = sorted_cat[i]
+        neq_prev = neq_prev | jnp.concatenate(
+            [jnp.ones((1,), bool), k[1:] != k[:-1]]
+        )
+    rs_idx = jax.lax.cummax(jnp.where(neq_prev, iota_t, -1))
+    u_idx = jax.lax.cummax(jnp.where(is_u, iota_t, -1))
+    u_slot = jax.lax.cummax(jnp.where(is_u, spay, -1))
+    match = (u_idx >= rs_idx) & (u_slot >= 0) & (u_slot < m)
+    result = jnp.where(match, u_slot, m_bucket)
     # Route results back to (set, slot) order by sorting on the payload
     # (measured: a permutation scatter here is ~1 ms slower at bench
     # scale, scripts/exp_lattice.py).

@@ -52,7 +52,12 @@ def test_second_client_waits_until_holder_exits(tmp_path):
 
 def test_timeout_returns_false_never_proceeds(tmp_path):
     lock = str(tmp_path / "tpu.lock")
-    holder = _spawn(lock, timeout=10, hold=5.0)
+    # Hold far longer than the waiter's interpreter startup: under a loaded
+    # machine (full suite + a real TPU job) the waiter subprocess can take
+    # >5 s just to import the package, and a holder that exits first turns
+    # the expected "timeout" into a flaky "acquired". The holder is
+    # terminated explicitly the moment the waiter reports.
+    holder = _spawn(lock, timeout=10, hold=60.0)
     assert holder.stdout.readline().strip() == "acquired"
     waiter = _spawn(lock, timeout=0.3, hold=0)
     assert waiter.stdout.readline().strip() == "timeout"
